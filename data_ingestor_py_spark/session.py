@@ -1,0 +1,52 @@
+"""SparkSession factory with scale-appropriate defaults.
+
+Local testing runs ``local[N]`` but every setting is chosen as it would be
+on a 1000-executor cluster: AQE on (runtime re-planning + skew-join
+mitigation), shuffle partitions sized to cores, Arrow enabled for the
+pandas-UDF boundary, and broadcast threshold left to AQE.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "data-ingestor-py-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores=None`` uses ``local[*]``. ``shuffle_partitions`` defaults to
+    2x cores locally; on a real cluster leave it to AQE coalescing.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        ncores = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        ncores = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, 2 * ncores)
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
