@@ -1,38 +1,525 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship CDC merge-apply replay on sf0.001.
+``queries()`` exposes every implemented operator (SURVEY.md §2) as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the exact
+DuckDB twin. Hash parity across engines is guaranteed by a shared
+token-hash primitive (sha256-prefix-as-int) and by casting double
+aggregates through DECIMAL so summation order cannot matter.
 """
 
 from __future__ import annotations
 
+import os
+import sys
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.functions import similarity as S
+from data_ingestor_py_spark.functions import text as T
+from data_ingestor_py_spark.operators.dedup import latest_by_key, salted_latest_by_key
+from data_ingestor_py_spark.operators.join import dict_lookup
+from data_ingestor_py_spark.plans.checkpoint import Checkpoint
+from data_ingestor_py_spark.plans.replay import replay, split_batches
+from data_ingestor_py_spark.plans.target import TargetTable
+from data_ingestor_py_spark.specs import ColumnMapping, MappingSpec
+
+# ---------------------------------------------------------------- helpers
+
+K_RE = r'"k":\s*([0-9]+)'  # props JSON field, extracted by regex in BOTH engines
+TOKS_SQL = "list_filter(string_split(text, ' '), t -> t <> '')"
+HASH_SQL = "('0x' || substr(sha256({x}), 1, 8))::BIGINT"
+P = T.HASH_MOD
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver's events table as a CDC stream keyed by (user_id, k):
+    'error' events are deletes, everything else upserts (generalizes the
+    reference's INSERT/UPDATE-only sink, db/postgres_query_builder.py:16-45)."""
+    ev = _t(spark, sf_dir, "events")
+    op = F.when(F.col("event_type") == "error", F.lit("D")).otherwise(F.lit("U"))
+    return ev.select(
+        F.col("event_id"),
+        F.col("user_id").cast("string").alias("repo"),
+        F.regexp_extract(F.col("props"), K_RE, 1).cast("long").cast("string").alias("path"),
+        F.sha2(F.col("event_id").cast("string"), 256).substr(1, 40).alias("commit"),
+        F.col("event_id").alias("_seq"),
+        op.alias("_op"),
+        F.col("ts").alias("_ts"),
+        F.col("event_type").alias("lang"),
+        F.col("value"),
+    )
+
+
+_REPLAY_CACHE: dict[tuple, str] = {}
+
+
+def _flagship_root(spark: SparkSession, sf_dir: str) -> str:
+    """Replay the events-derived CDC stream through the real engine
+    (4 hash-interleaved batches -> bucketed COW merge) once per sf_dir."""
+    key = ("flagship", sf_dir)
+    if key in _REPLAY_CACHE:
+        return _REPLAY_CACHE[key]
+    root = tempfile.mkdtemp(prefix="ingestor-flagship-")
+    os.rmdir(root)
+    table = TargetTable.create(
+        spark, root, key_cols=["repo", "path"],
+        columns=[("commit", "string"), ("lang", "string"), ("value", "double")],
+        num_buckets=16,
+    )
+    cdc = _events_cdc(spark, sf_dir)
+    batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
+    prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
+    replay(table, batches, prepare=prep)
+    _REPLAY_CACHE[key] = root
+    return root
+
+
+def _final_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table = TargetTable(spark, _flagship_root(spark, sf_dir))
+    return table.read().select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full CDC replay via the engine on sf0.001."""
+    return _final_state(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------- queries
+
+
+def q_cdc_merge_full_replay(spark, sf_dir):
+    return _final_state(spark, sf_dir)
+
+
+def q_checkpoint_lineage_counts(spark, sf_dir):
+    _flagship_root(spark, sf_dir)
+    cp = Checkpoint(spark, _REPLAY_CACHE[("flagship", sf_dir)])
+    return cp.read().select("batch_id", "rows_applied").orderBy("batch_id")
+
+
+def q_schema_evolution_replay(spark, sf_dir):
+    """Mid-stream schema evolution: 'bonus' column added between batch 1 and
+    batch 2; events before the bump never carry it (NULL via evolution)."""
+    cdc = _events_cdc(spark, sf_dir)
+    half = cdc.agg((F.floor((F.max("event_id") + 1) / 2)).alias("h")).collect()[0]["h"]
+    root = tempfile.mkdtemp(prefix="ingestor-evolve-")
+    os.rmdir(root)
+    table = TargetTable.create(
+        spark, root, key_cols=["repo", "path"],
+        columns=[("score", "double")], num_buckets=8,
+    )
+    assign = (F.col("event_id") >= half).cast("int") * 2 + F.pmod(F.col("event_id"), F.lit(2))
+    batches = split_batches(cdc, 4, assign=assign)
+
+    def prep(df, i):
+        base = df.select(
+            "repo", "path", F.col("value").alias("score"), "_seq", "_op", "_ts"
+        )
+        if i >= 2:
+            base = base.withColumn("bonus", F.col("score") * 2)
+        return base
+
+    def on_start(i, tbl):
+        if i == 2 and "bonus" not in [f["name"] for f in tbl.schema_fields()]:
+            tbl.evolve(add=[("bonus", "double")])
+
+    replay(table, batches, prepare=prep, on_batch_start=on_start)
+    return table.read().select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("score"),
+        F.col("bonus"),
+    )
+
+
+def q_dedup_latest_by_key(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return latest_by_key(ev, ["user_id"], seq_col="event_id")
+
+
+def q_dedup_salted_latest(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return salted_latest_by_key(ev, ["event_type"], seq_col="event_id", salt_buckets=8)
+
+
+def q_mapping_projection(spark, sf_dir):
+    spec = MappingSpec(
+        version=1,
+        columns=(
+            ColumnMapping("l_orderkey", "order_id", "long"),
+            ColumnMapping("l_partkey", "part_id", "long"),
+            ColumnMapping("l_quantity", "qty", "double"),
+            ColumnMapping("l_returnflag", "flag", "string"),
+            ColumnMapping("nonexistent_source", "legacy_code", "string"),
+        ),
+        constants={"source_system": "mist"},
+    )
+    return spec.apply(_t(spark, sf_dir, "lineitem"))
+
+
+def q_flatten_explode_tokens(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(T.tokens("text")).alias("token"))
+    return tok.groupBy("token").agg(F.count("*").alias("cnt"))
+
+
+def q_broadcast_dict_join(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name")
+    )
+    joined = dict_lookup(cust, nat, "c_nationkey")
+    return joined.select(
+        "c_custkey", "c_name", "n_name",
+        F.concat(F.lit("customer "), F.col("c_name"), F.lit(" in "), F.col("n_name")).alias("message"),
+    )
+
+
+def q_agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    # Aggregate in exact DECIMAL so summation order is irrelevant, then step
+    # down to DECIMAL(28,4) (lossless: all terms have <=4dp) before DOUBLE —
+    # keeps the scaled integer < 2^53 so every engine converts identically.
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(dec("l_quantity")).cast("decimal(28,4)").cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("decimal(28,4)").cast("double").alias("sum_base_price"),
+        F.sum((dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).cast("decimal(28,12)"))
+        .cast("decimal(28,4)").cast("double").alias("sum_disc_price"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_groupby_argmax_mode(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("cnt"), F.asc("event_type"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_event_type"), "cnt")
+    )
+
+
+def q_sessionize_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0))
+    sess = ev.withColumn(
+        "session_id", F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("n_events").alias("max_session_events")
+    )
+
+
+def q_exact_dedup_documents(spark, sf_dir):
+    return S.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_ngram_jaccard_pairs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", S.shingles("text").alias("sh"))
+    a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select((F.col("doc_id") - 1).alias("id_a"), F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, "id_a")
+        .select("id_a", "id_b", S.jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") > 0.02)
+    )
+
+
+def q_minhash_signatures(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sig = S.minhash_signature("text", 8)
+    cols = [F.element_at(sig, i + 1).alias(f"m{i}") for i in range(8)]
+    return docs.select("doc_id", *cols)
+
+
+def q_minhash_lsh_neardup(spark, sf_dir):
+    # LSH-bucketed near-dup search (rows-only check: the banding join is the
+    # scale path; exactness is covered by q_minhash_signatures + q_ngram_*)
+    return S.minhash_near_duplicates(_t(spark, sf_dir, "documents"), threshold=0.05)
+
+
+def q_simhash_fingerprints(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", S.simhash("text").alias("simhash"))
+
+
+def q_doc_fingerprint_rolling(spark, sf_dir):
+    return T.doc_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_metrics(spark, sf_dir):
+    return T.quality_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_language_id(spark, sf_dir):
+    return T.language_id(_t(spark, sf_dir, "documents"))
+
+
+def q_token_count_regex(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+
+
+def q_ann_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.topk_cosine(emb.where("vec_id < 8"), emb, k=5)
+
+
+def q_ann_lsh_bucketed(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    return S.ann_lsh_topk(emb.where("vec_id < 8"), emb, k=5, planes=4, dims=dim)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "cdc_merge_full_replay": q_cdc_merge_full_replay,
+        "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
+        "schema_evolution_replay": q_schema_evolution_replay,
+        "dedup_latest_by_key": q_dedup_latest_by_key,
+        "dedup_salted_latest": q_dedup_salted_latest,
+        "mapping_projection": q_mapping_projection,
+        "flatten_explode_tokens": q_flatten_explode_tokens,
+        "broadcast_dict_join": q_broadcast_dict_join,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "groupby_argmax_mode": q_groupby_argmax_mode,
+        "sessionize_events": q_sessionize_events,
+        "exact_dedup_documents": q_exact_dedup_documents,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_neardup": q_minhash_lsh_neardup,
+        "simhash_fingerprints": q_simhash_fingerprints,
+        "doc_fingerprint_rolling": q_doc_fingerprint_rolling,
+        "quality_metrics": q_quality_metrics,
+        "language_id": q_language_id,
+        "token_count_regex": q_token_count_regex,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+
+def _minhash_sig_sql() -> str:
+    toks = TOKS_SQL
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    )
+    h = HASH_SQL.format(x="s") + f" % {P}"
+    cols = ", ".join(
+        f"list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {P}), 'min') AS m{i}"
+        for i, (a, b) in enumerate(S.MINHASH_COEFFS)
+    )
+    return (
+        f"WITH sh AS (SELECT doc_id, {sh} AS shingles FROM documents), "
+        f"h AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh) "
+        f"SELECT doc_id, {cols} FROM h"
+    )
+
+
+def _simhash_sql() -> str:
+    h = HASH_SQL.format(x="t")
+    bits = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1), 'sum') > 0 "
+        f"THEN {1 << j} ELSE 0 END)"
+        for j in range(S.SIMHASH_BITS)
+    )
+    return (
+        f"WITH h AS (SELECT doc_id, list_transform({TOKS_SQL}, t -> {h}) AS hs FROM documents) "
+        f"SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM h"
+    )
+
+
+def _langid_sql() -> str:
+    parts = []
+    for lang, ws in sorted(T.STOPWORDS.items()):
+        arr = "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+        parts.append(
+            f"SELECT doc_id, lang AS true_lang, '{lang}' AS pred_lang, "
+            f"len(list_intersect({TOKS_SQL}, {arr})) AS stop_hits FROM documents"
+        )
+    u = " UNION ALL ".join(parts)
+    return (
+        f"SELECT doc_id, true_lang, pred_lang, stop_hits FROM ("
+        f"SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY stop_hits DESC, pred_lang ASC) rn "
+        f"FROM ({u})) WHERE rn = 1"
+    )
+
+
+def _quality_sql() -> str:
+    stop = "[" + ", ".join(f"'{w}'" for w in T.STOPWORDS["en"]) + "]"
+    pat = T.TOKEN_PATTERN.replace("\\", "\\\\") if False else T.TOKEN_PATTERN
+    return f"""
+        WITH b AS (
+          SELECT doc_id, length(text) AS n_chars,
+                 len({TOKS_SQL}) AS n_tokens_ws,
+                 regexp_extract_all(text, '{pat}') AS rx,
+                 len(list_intersect({TOKS_SQL}, {stop})) AS n_stop_distinct
+          FROM documents)
+        SELECT doc_id, n_chars, n_tokens_ws, len(rx) AS n_tokens_rx,
+               len(list_filter(rx, t -> regexp_matches(t, '^[^A-Za-z0-9]$'))) AS n_punct,
+               n_stop_distinct,
+               (n_tokens_ws >= 5 AND n_chars >= 50 AND
+                (len(list_filter(rx, t -> regexp_matches(t, '^[^A-Za-z0-9]$')))::DOUBLE
+                 / greatest(len(rx), 1)) < 0.2) AS is_quality
+        FROM b"""
+
+
+def _cosine_topk_sql() -> str:
+    dot = (
+        "list_aggregate(list_transform(range(1, len(qv)+1), "
+        "i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')"
+    )
+    norm = "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    nq, nc = norm.format(v="qv"), norm.format(v="cv")
+    return f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+        s AS (SELECT query_id, e.vec_id AS neighbor_id,
+                     {dot} / ({nq} * {nc}) AS cos
+              FROM q, (SELECT vec_id, embedding AS cv FROM embeddings) e
+              WHERE query_id <> e.vec_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= 5"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    cdc_base = (
+        "SELECT user_id, CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k, "
+        "event_id, event_type, value FROM events"
+    )
+    last = (
+        f"SELECT *, row_number() OVER (PARTITION BY user_id, k ORDER BY event_id DESC) AS rn "
+        f"FROM ({cdc_base})"
+    )
+    fp_h = HASH_SQL.format(x="t") + f" % {P}"
+    return {
+        "cdc_merge_full_replay": (
+            f"SELECT user_id, k, event_id AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "checkpoint_lineage_counts": (
+            f"SELECT event_id % 4 AS batch_id, "
+            f"count(DISTINCT CAST(user_id AS VARCHAR) || '#' || CAST(k AS VARCHAR)) AS rows_applied "
+            f"FROM ({cdc_base}) GROUP BY 1 ORDER BY 1"
+        ),
+        "schema_evolution_replay": (
+            f"WITH h AS (SELECT (max(event_id) + 1) // 2 AS half FROM events) "
+            f"SELECT user_id, k, event_id AS last_seq, value AS score, "
+            f"CASE WHEN event_id >= (SELECT half FROM h) THEN value * 2 END AS bonus "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "dedup_latest_by_key": (
+            "SELECT user_id, event_id, ts, event_type, value, props FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) rn FROM events"
+            ") WHERE rn = 1"
+        ),
+        "dedup_salted_latest": (
+            "SELECT event_type, event_id, ts, user_id, value, props FROM ("
+            "SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY event_id DESC) rn FROM events"
+            ") WHERE rn = 1"
+        ),
+        "mapping_projection": (
+            "SELECT l_orderkey AS order_id, l_partkey AS part_id, l_quantity AS qty, "
+            "l_returnflag AS flag, CAST(NULL AS VARCHAR) AS legacy_code, 'mist' AS source_system "
+            "FROM lineitem"
+        ),
+        "flatten_explode_tokens": (
+            f"SELECT token, count(*) AS cnt FROM ("
+            f"SELECT unnest({TOKS_SQL}) AS token FROM documents) GROUP BY token"
+        ),
+        "broadcast_dict_join": (
+            "SELECT c_custkey, c_name, n_name, "
+            "'customer ' || c_name || ' in ' || n_name AS message "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty, "
+            "CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_base_price, "
+            "CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+            "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))) AS DECIMAL(28,4)) AS DOUBLE) "
+            "AS sum_disc_price, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "groupby_argmax_mode": (
+            "SELECT user_id, event_type AS top_event_type, cnt FROM ("
+            "SELECT user_id, event_type, count(*) AS cnt, "
+            "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn "
+            "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "sessionize_events": (
+            "WITH s AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN date_diff('second', lag(ts) OVER w, ts) IS NULL "
+            "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "t AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS UNBOUNDED PRECEDING) AS session_id FROM s), "
+            "g AS (SELECT user_id, session_id, count(*) AS n_events FROM t GROUP BY 1, 2) "
+            "SELECT user_id, count(*) AS n_sessions, max(n_events) AS max_session_events "
+            "FROM g GROUP BY user_id"
+        ),
+        "exact_dedup_documents": (
+            "SELECT sha256(text) AS content_sha256, min(doc_id) AS canonical_id, "
+            "count(*) AS n_copies FROM documents GROUP BY 1"
+        ),
+        "ngram_jaccard_pairs": _ngram_pairs_sql(),
+        "minhash_signatures": _minhash_sig_sql(),
+        "simhash_fingerprints": _simhash_sql(),
+        "doc_fingerprint_rolling": (
+            f"SELECT doc_id, list_reduce(list_concat([CAST(0 AS BIGINT)], "
+            f"list_transform({TOKS_SQL}, t -> {fp_h})), "
+            f"(a, b) -> (a * {T.FP_BASE} + b) % {P}) AS fingerprint FROM documents"
+        ),
+        "quality_metrics": _quality_sql(),
+        "language_id": _langid_sql(),
+        "token_count_regex": (
+            f"SELECT doc_id, len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS n_tokens "
+            f"FROM documents"
+        ),
+        "ann_topk_cosine": _cosine_topk_sql(),
+        # minhash_lsh_neardup / ann_lsh_bucketed: approximate candidate
+        # generation — rows-only check (exactness covered by the signature
+        # and brute-force twins above).
+    }
+
+
+def _ngram_pairs_sql() -> str:
+    toks = TOKS_SQL
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    )
+    return f"""
+        WITH d AS (SELECT doc_id, {sh} AS sh FROM documents)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE AS jaccard
+        FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE > 0.02"""

@@ -1,0 +1,82 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The primary metric is end-to-end wall time of the headline set; the flagship
+CDC merge-apply replay also reports events/sec (the BASELINE.json metric).
+Each query is forced through the noop sink so the full plan executes
+without driver-side materialization costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "cdc_merge_full_replay",
+    "schema_evolution_replay",
+    "dedup_latest_by_key",
+    "mapping_projection",
+    "agg_pricing_summary",
+    "broadcast_dict_join",
+    "sessionize_events",
+    "exact_dedup_documents",
+    "minhash_signatures",
+    "minhash_lsh_neardup",
+    "simhash_fingerprints",
+    "quality_metrics",
+    "language_id",
+    "ann_topk_cosine",
+    "ann_lsh_bucketed",
+]
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+    from data_ingestor_py_spark.session import get_spark
+
+    spark = get_spark("bench", cores=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # Warm the JVM/codegen path once on the smallest table.
+    spark.read.parquet(os.path.join(SF_DIR, "region.parquet")).count()
+
+    timings: dict[str, float] = {}
+    n_events = spark.read.parquet(os.path.join(SF_DIR, "events.parquet")).count()
+    for name in HEADLINE:
+        t0 = time.time()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    replay_rate = round(n_events / timings["cdc_merge_full_replay"], 1)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+                "cdc_replay_events_per_sec": replay_rate,
+                "n_events": n_events,
+                "cpus": CPUS,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

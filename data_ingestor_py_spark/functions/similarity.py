@@ -1,0 +1,222 @@
+"""Deduplication + similarity search primitives over documents/embeddings.
+
+Scale-first shapes:
+- exact dedup: hash-groupBy on sha256(text) — one shuffle, map-side combine;
+- n-gram Jaccard: set ops on shingle arrays, all codegen;
+- MinHash + LSH banding: signature = k independent min-hashes; candidate
+  generation = explode band keys + self-join on (band, bandhash) so only
+  colliding docs are compared — the O(n^2) pair space never materializes;
+- SimHash: 16-bit sign fingerprint, hamming-near buckets;
+- ANN: brute-force cosine top-k as the exact baseline; LSH random-hyperplane
+  bucketing as the sublinear path (buckets shrink the candidate set ~2^P x).
+
+All hash constants are module-level so the DuckDB oracle SQL embeds the
+same numbers — signatures match bit-for-bit across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.functions.text import HASH_MOD, token_hash, tokens
+
+# Deterministic affine minhash coefficients (seeded, fixed at authoring time).
+MINHASH_COEFFS = [
+    (1664525, 1013904223), (22695477, 1), (1103515245, 12345), (134775813, 1),
+    (214013, 2531011), (69069, 1234567), (1103515245, 54321), (999331, 7777777),
+]
+SIMHASH_BITS = 16
+
+
+def shingles(text_col: str | Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct). 1-based element_at for DuckDB parity.
+
+    Guarded: Spark ``sequence(1, 0)`` would generate a DESCENDING sequence,
+    so documents shorter than ``n`` tokens explicitly yield no shingles.
+    """
+    toks = tokens(text_col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+    )
+    empty = F.array().cast("array<string>")
+    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(empty))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A ∩ B| / |A ∪ B| over distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_signature(text_col: str | Column, k: int | None = None) -> Column:
+    """k min-hashes over the distinct shingle set: min((a*h + b) % P)."""
+    sh = shingles(text_col)
+    hashed = F.transform(sh, lambda s: token_hash(s) % HASH_MOD)
+    coeffs = MINHASH_COEFFS[: (k or len(MINHASH_COEFFS))]
+    mins = [
+        F.array_min(F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD))
+        for a, b in coeffs
+    ]
+    return F.array(*mins)
+
+
+def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
+    """Sign-of-sum fingerprint: bit j set iff more token hashes have bit j
+    set than not. Order-insensitive, locality-sensitive for bag overlap."""
+    hashed = F.transform(tokens(text_col), lambda t: token_hash(t))
+
+    def _vote(j: int):
+        return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
+
+    parts = []
+    for j in range(bits):
+        vote = F.aggregate(hashed, F.lit(0).cast("long"), _vote(j))
+        parts.append(F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out + p
+    return out.cast("long")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical doc per identical content = min id per
+    sha256(text). Hash-groupBy, no window."""
+    return (
+        df.select(F.sha2(F.col(text_col), 256).alias("content_sha256"), F.col(id_col))
+        .groupBy("content_sha256")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the minhash signature become a
+    candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Scale shape: explode to (band_id, band_hash, id), self-join on the
+    band key — shuffle is O(n * bands), never O(n^2).
+    """
+    k = bands * rows_per_band
+    sig = minhash_signature(text_col, k)
+    with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    band = with_sig.select(
+        "id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws(",", *[F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                                       for r in range(rows_per_band)]).alias("bh"),
+                )
+                for b in range(bands)
+            ])
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.bh")
+    left = band.alias("l")
+    right = band.alias("r")
+    pairs = (
+        left.join(right, ["band", "bh"])
+        .where(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_near_duplicates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    threshold: float = 0.5, bands: int = 4, rows_per_band: int = 2,
+) -> DataFrame:
+    """Candidates from LSH, verified by exact Jaccard on shingles."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, bands, rows_per_band)
+    docs = df.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
+    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "id_a").join(b, "id_b")
+        .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------- embedding similarity ----------------
+
+
+def cosine(u: Column, v: Column) -> Column:
+    """Cosine over array<float> columns, computed in double."""
+    dot = F.aggregate(
+        F.zip_with(u, v, lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    nu = F.sqrt(F.aggregate(u, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    nv = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
+    return dot / (nu * nv)
+
+
+def topk_cosine(
+    queries: DataFrame, corpus: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast the (small) query set against the
+    corpus, rank per query. Returns (query_id, neighbor_id, rank)."""
+    q = F.broadcast(queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = q.join(c, F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_hyperplane_bucket(vec_col: str | Column, planes: int = 8, dims: int = 64) -> Column:
+    """Random-hyperplane LSH bucket id: bit p = sign(dot(v, plane_p)) where
+    plane_p[i] = ±1 derived from sha256(p,i) — deterministic, no stored
+    model. Buckets shrink ANN candidate sets ~2^planes x."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    bits = []
+    for p in range(planes):
+        signs = F.array(*[
+            F.lit(1.0) if int(__import__("hashlib").sha256(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2
+            else F.lit(-1.0)
+            for i in range(dims)
+        ])
+        dot = F.aggregate(
+            F.zip_with(v, signs, lambda a, s: a.cast("double") * s),
+            F.lit(0.0), lambda acc, x: acc + x,
+        )
+        bits.append(F.when(dot > 0, F.lit(2 ** p)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("int")
+
+
+def ann_lsh_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, planes: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding", dims: int = 64,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's LSH bucket."""
+    bucket = lsh_hyperplane_bucket(vec_col, planes, dims)
+    q = F.broadcast(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"), bucket.alias("b"))
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"), bucket.alias("b"))
+    scored = q.join(c, "b").where(F.col("query_id") != F.col("neighbor_id")).select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("cos")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,110 @@
+"""Text analysis over the ``documents`` table: tokenization, quality
+scoring, language ID, fingerprinting.
+
+All pure Catalyst expressions (whole-stage codegen, no Python). Every
+function has an exact DuckDB-SQL twin in ``__spark_entry__.oracle_sql`` —
+the shared primitive is the engine-portable token hash
+``H(t) = int(sha256(t)[:8], 16)`` (Spark: conv(substr(sha2,...)); DuckDB:
+('0x'||substr(sha256,...))::BIGINT), so fingerprints/minhash/simhash are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# BPE-ish tokenizer: runs of letters, runs of digits, single punctuation.
+TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language stopword dictionaries (public common words).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "y", "que", "en", "un", "una", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "eine", "zu", "mit", "auf"],
+    "fr": ["le", "la", "de", "et", "que", "en", "un", "une", "est", "pour"],
+    "zh": ["de", "shi", "le", "zai", "you", "he", "wo", "ta", "men", "zhe"],
+}
+
+HASH_MOD = 2_147_483_647  # 2^31 - 1
+FP_BASE = 131
+
+
+def tokens(col: str | Column, pattern: str = " ") -> Column:
+    """Whitespace tokens (non-empty)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, pattern), lambda t: t != "")
+
+
+def regex_tokens(col: str | Column) -> Column:
+    """BPE-ish regex tokens."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(TOKEN_PATTERN), 0)
+
+
+def token_hash(tok: Column) -> Column:
+    """Engine-portable 32-bit token hash (matches the DuckDB twin exactly)."""
+    return F.conv(F.substring(F.sha2(tok, 256), 1, 8), 16, 10).cast("long")
+
+
+def token_count(col: str | Column) -> Column:
+    return F.size(regex_tokens(col))
+
+
+def quality_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + flag.
+
+    Mirrors what a pretraining-data quality filter computes; all counts are
+    integers so the oracle comparison is exact.
+    """
+    toks = tokens(text_col)
+    rtoks = regex_tokens(text_col)
+    n_ws = F.size(toks)
+    n_rx = F.size(rtoks)
+    n_punct = F.size(F.filter(rtoks, lambda t: t.rlike("^[^A-Za-z0-9]$")))
+    n_stop = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in STOPWORDS["en"]])))
+    n_chars = F.length(F.col(text_col))
+    return df.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_ws.alias("n_tokens_ws"),
+        n_rx.alias("n_tokens_rx"),
+        n_punct.alias("n_punct"),
+        n_stop.alias("n_stop_distinct"),
+        (
+            (n_ws >= 5) & (n_chars >= 50) & ((n_punct.cast("double") / F.greatest(n_rx, F.lit(1))) < 0.2)
+        ).alias("is_quality"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """N-gram-free heuristic language ID: distinct-stopword hits per
+    language, argmax with lexicographic tie-break (S7's mode-argmax pattern
+    generalized)."""
+    toks = tokens(text_col)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+            # invert name for tie-break: higher struct wins, so ties pick
+            # the lexicographically SMALLEST language name deterministically
+            F.lit("".join(chr(255 - ord(ch)) for ch in lang)).alias("inv"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, ws in sorted(STOPWORDS.items())
+    ]
+    best = F.greatest(*scores)
+    return df.select("doc_id", F.col("lang").alias("true_lang"), best["lang"].alias("pred_lang"),
+                     best["hits"].alias("stop_hits"))
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rolling polynomial hash over the whitespace token stream:
+    acc = (acc * 131 + H(tok) % P) % P with P = 2^31-1. Order-sensitive —
+    a document fingerprint, not a bag hash."""
+    toks = tokens(text_col)
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + token_hash(t) % HASH_MOD) % HASH_MOD,
+    )
+    return df.select("doc_id", fp.alias("fingerprint"))

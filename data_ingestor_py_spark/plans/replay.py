@@ -22,11 +22,13 @@ from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint, Lin
 from data_ingestor_py_spark.plans.target import TargetTable
 
 
-def split_batches(events: DataFrame, n_batches: int, by: str = "event_id") -> list[DataFrame]:
+def split_batches(events: DataFrame, n_batches: int, by: str = "event_id", assign=None) -> list[DataFrame]:
     """Deterministic batch assignment by hash of the event id — deliberately
     NOT range-based, so events arrive across batches out of ``_seq`` order
-    and the late-event guard (M9) is genuinely exercised."""
-    with_b = events.withColumn("_batch", F.pmod(F.xxhash64(F.col(by)), F.lit(n_batches)).cast("int"))
+    and the late-event guard (M9) is genuinely exercised. ``assign`` overrides
+    the assignment with an arbitrary int Column expression."""
+    expr = assign if assign is not None else F.pmod(F.xxhash64(F.col(by)), F.lit(n_batches))
+    with_b = events.withColumn("_batch", expr.cast("int"))
     return [with_b.where(F.col("_batch") == i).drop("_batch") for i in range(n_batches)]
 
 
