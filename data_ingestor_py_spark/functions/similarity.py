@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from data_ingestor_py_spark.functions.expr import let_
 from data_ingestor_py_spark.functions.text import HASH_MOD, token_hash, tokens
 
 # Deterministic affine minhash coefficients (seeded, fixed at authoring time).
@@ -35,13 +36,16 @@ def shingles(text_col: str | Column, n: int = 3) -> Column:
     Guarded: Spark ``sequence(1, 0)`` would generate a DESCENDING sequence,
     so documents shorter than ``n`` tokens explicitly yield no shingles.
     """
-    toks = tokens(text_col)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
-    )
     empty = F.array().cast("array<string>")
-    return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(empty))
+
+    def body(toks: Column) -> Column:
+        sh = F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(toks, i + k) for k in range(n)]),
+        )
+        return F.array_distinct(F.when(F.size(toks) >= n, sh).otherwise(empty))
+
+    return let_(tokens(text_col), body)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -52,33 +56,39 @@ def jaccard(a: Column, b: Column) -> Column:
 
 
 def minhash_signature(text_col: str | Column, k: int | None = None) -> Column:
-    """k min-hashes over the distinct shingle set: min((a*h + b) % P)."""
-    sh = shingles(text_col)
-    hashed = F.transform(sh, lambda s: token_hash(s) % HASH_MOD)
+    """k min-hashes over the distinct shingle set: min((a*h + b) % P).
+
+    let_-bound so tokenize/shingle/sha256 each run once per row, not once
+    per coefficient."""
     coeffs = MINHASH_COEFFS[: (k or len(MINHASH_COEFFS))]
-    mins = [
-        F.array_min(F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD))
-        for a, b in coeffs
-    ]
-    return F.array(*mins)
+
+    def body(hs: Column) -> Column:
+        return F.array(*[
+            F.array_min(F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % HASH_MOD))
+            for a, b in coeffs
+        ])
+
+    hashed = let_(shingles(text_col), lambda sh: F.transform(sh, lambda s: token_hash(s) % HASH_MOD))
+    return let_(hashed, body)
 
 
 def simhash(text_col: str | Column, bits: int = SIMHASH_BITS) -> Column:
     """Sign-of-sum fingerprint: bit j set iff more token hashes have bit j
     set than not. Order-insensitive, locality-sensitive for bag overlap."""
-    hashed = F.transform(tokens(text_col), lambda t: token_hash(t))
-
     def _vote(j: int):
         return lambda acc, h: acc + (F.shiftright(h, j) % 2) * 2 - 1
 
-    parts = []
-    for j in range(bits):
-        vote = F.aggregate(hashed, F.lit(0).cast("long"), _vote(j))
-        parts.append(F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
-    out = parts[0]
-    for p in parts[1:]:
-        out = out + p
-    return out.cast("long")
+    def body(hashed: Column) -> Column:
+        parts = []
+        for j in range(bits):
+            vote = F.aggregate(hashed, F.lit(0).cast("long"), _vote(j))
+            parts.append(F.when(vote > 0, F.lit(2 ** j)).otherwise(F.lit(0)))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out + p
+        return out.cast("long")
+
+    return let_(F.transform(tokens(text_col), lambda t: token_hash(t)), body)
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:

@@ -12,16 +12,23 @@ parquet tables next to the target:
   the checkpoint is *advisory*: a crash between snapshot commit and
   checkpoint write just re-applies the batch harmlessly (exactly-once
   end state either way).
-- ``_lineage``: per-batch per-partition row counts for audit.
+- ``_lineage``: per-batch per-bucket applied-row counts for audit.
 
-Appends are tiny (metadata-scale); each batch writes one small parquet file.
+These rows are metadata-scale, so they are written driver-side with pyarrow
+(zero Spark jobs per batch — on a busy cluster the scheduler never sees
+them) while remaining ordinary parquet readable by Spark/DuckDB.
 """
 
 from __future__ import annotations
 
 import os
 import time
+import uuid
 from dataclasses import asdict, dataclass
+
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -30,6 +37,23 @@ CHECKPOINT_DDL = (
     "rows_in long, rows_applied long, touched_buckets int, "
     "snapshot_version long, checksum string, status string, "
     "started_at double, committed_at double, duration_s double"
+)
+
+_CP_ARROW = pa.schema(
+    [
+        ("batch_id", pa.int64()),
+        ("src_offset_start", pa.int64()),
+        ("src_offset_end", pa.int64()),
+        ("rows_in", pa.int64()),
+        ("rows_applied", pa.int64()),
+        ("touched_buckets", pa.int32()),
+        ("snapshot_version", pa.int64()),
+        ("checksum", pa.string()),
+        ("status", pa.string()),
+        ("started_at", pa.float64()),
+        ("committed_at", pa.float64()),
+        ("duration_s", pa.float64()),
+    ]
 )
 
 
@@ -49,26 +73,45 @@ class BatchRecord:
     duration_s: float
 
 
+def _append_arrow(dir_: str, table: pa.Table) -> None:
+    os.makedirs(dir_, exist_ok=True)
+    pq.write_table(table, os.path.join(dir_, f"part-{uuid.uuid4().hex}.parquet"))
+
+
 class Checkpoint:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.dir = os.path.join(root, "_checkpoint")
 
     def committed_batches(self) -> set[int]:
-        if not os.path.isdir(self.dir):
+        """Driver-side metadata read — no Spark job."""
+        if not os.path.isdir(self.dir) or not os.listdir(self.dir):
             return set()
-        df = self.spark.read.schema(CHECKPOINT_DDL).parquet(self.dir)
-        return {r["batch_id"] for r in df.where("status = 'COMMITTED'").select("batch_id").collect()}
+        ds = pads.dataset(self.dir, format="parquet")
+        t = ds.to_table(columns=["batch_id", "status"])
+        return {
+            b for b, s in zip(t["batch_id"].to_pylist(), t["status"].to_pylist())
+            if s == "COMMITTED"
+        }
 
     def commit(self, rec: BatchRecord) -> None:
-        df = self.spark.createDataFrame([tuple(asdict(rec).values())], CHECKPOINT_DDL)
-        df.coalesce(1).write.mode("append").parquet(self.dir)
+        d = asdict(rec)
+        _append_arrow(self.dir, pa.Table.from_pylist([d], schema=_CP_ARROW))
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.dir)
 
 
 LINEAGE_DDL = "batch_id long, bucket int, rows long, committed_at double"
+
+_LIN_ARROW = pa.schema(
+    [
+        ("batch_id", pa.int64()),
+        ("bucket", pa.int32()),
+        ("rows", pa.int64()),
+        ("committed_at", pa.float64()),
+    ]
+)
 
 
 class Lineage:
@@ -80,9 +123,12 @@ class Lineage:
 
     def append(self, batch_id: int, bucket_rows: list[tuple[int, int]]) -> None:
         now = time.time()
-        rows = [(batch_id, b, n, now) for b, n in bucket_rows]
+        rows = [
+            {"batch_id": batch_id, "bucket": int(b), "rows": int(n), "committed_at": now}
+            for b, n in bucket_rows
+        ]
         if rows:
-            self.spark.createDataFrame(rows, LINEAGE_DDL).coalesce(1).write.mode("append").parquet(self.dir)
+            _append_arrow(self.dir, pa.Table.from_pylist(rows, schema=_LIN_ARROW))
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_DDL).parquet(self.dir)

@@ -62,12 +62,11 @@ def replay(
         df = prepare(batch, i) if prepare is not None else batch
         stats = table.merge_apply(df, salt_buckets=salt_buckets)
         csum = table.snapshot_hash() if checksum else ""
-        offs = df.agg(F.min("_seq"), F.max("_seq")).collect()[0] if stats.rows_in else (0, 0)
         t1 = time.time()
         rec = BatchRecord(
             batch_id=i,
-            src_offset_start=int(offs[0] or 0),
-            src_offset_end=int(offs[1] or 0),
+            src_offset_start=stats.seq_min,
+            src_offset_end=stats.seq_max,
             rows_in=stats.rows_in,
             rows_applied=stats.rows_after_dedup,
             touched_buckets=stats.touched_buckets,

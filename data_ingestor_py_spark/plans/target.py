@@ -61,6 +61,8 @@ class MergeStats:
     touched_buckets: int
     snapshot_version: int
     bucket_rows: list[tuple[int, int]]  # (bucket_id, applied rows) per bucket
+    seq_min: int = 0
+    seq_max: int = 0
 
 
 class TargetTable:
@@ -233,12 +235,20 @@ class TargetTable:
         -> per-key max again (late events with _seq <= stored max lose) ->
         rewrite only touched buckets -> atomic manifest swap.
         """
+        from pyspark.sql import Observation
+
         m = self._load()
         key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
         cols = self.current_columns(m)
 
-        batch = batch.select(*[F.col(c) for c in cols])
-        rows_in = batch.count()
+        # Input stats ride the reduce job via observe() — no extra count job.
+        obs = Observation()
+        batch = batch.select(*[F.col(c) for c in cols]).observe(
+            obs,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.min(seq_col).alias("seq_min"),
+            F.max(seq_col).alias("seq_max"),
+        )
         # NOTE: no separate dropDuplicates stage — the max-struct reduce below
         # already collapses replayed duplicates deterministically, saving a
         # full extra shuffle per batch.
@@ -256,6 +266,10 @@ class TargetTable:
                 r["bkt"]: r["n"]
                 for r in reduced.groupBy("bkt").agg(F.count("*").alias("n")).collect()
             }
+            ob = obs.get
+            rows_in = int(ob["rows_in"])
+            seq_min = int(ob["seq_min"] or 0)
+            seq_max = int(ob["seq_max"] or 0)
             touched = sorted(per_bucket)
             rows_dedup = sum(per_bucket.values())
             if not touched:
@@ -289,7 +303,10 @@ class TargetTable:
              "rows_in": rows_in, "rows_applied": rows_dedup, "buckets": touched}
         )
         self._commit_manifest(m)
-        return MergeStats(rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()))
+        return MergeStats(
+            rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()),
+            seq_min, seq_max,
+        )
 
     # ---------------- verification / maintenance ----------------
 
