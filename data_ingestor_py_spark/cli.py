@@ -1,0 +1,142 @@
+"""spark-submit entry point for the CDC replay engine.
+
+Usage (cluster):
+    spark-submit --py-files engine.zip -m data_ingestor_py_spark.cli \\
+        replay --events-table s3://…/change_events --target s3://…/repo_files
+
+Sandbox (local[N] proxy for N executors):
+    python -m data_ingestor_py_spark.cli bench-replay \\
+        --n-events 2000000 --cores 32 --batches 4 --target /tmp/t
+
+The ``bench-replay`` subcommand generates the deterministic synthetic
+binlog (sources/generator.py), replays it through the merge-apply engine,
+and prints one JSON line with wall time + events/sec — the measurement the
+two-cluster-size scaling evidence (BENCH/BASELINE.md) is built from.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import shutil
+import time
+
+
+def _add_common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--cores", type=int, default=None, help="local[N] cores (default: all)")
+    p.add_argument("--target", required=True, help="target table root directory")
+    p.add_argument("--batches", type=int, default=4)
+    p.add_argument("--num-buckets", type=int, default=64)
+    p.add_argument("--salt-buckets", type=int, default=0)
+    p.add_argument("--checksum", action="store_true", help="record snapshot hash per batch")
+    p.add_argument("--warmup-batches", type=int, default=0,
+                   help="batches excluded from the steady-state rate")
+    p.add_argument("--light-stats", action="store_true",
+                   help="per-bucket event counts instead of exact distinct-key lineage")
+    p.add_argument("--expire-keep", type=int, default=0,
+                   help="expire old snapshots after each batch, keeping N")
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="data-ingestor-py-spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("bench-replay", help="generate synthetic CDC events and replay")
+    _add_common(b)
+    b.add_argument("--n-events", type=int, default=1_000_000)
+    b.add_argument("--n-repos", type=int, default=2000)
+    b.add_argument("--paths-per-repo", type=int, default=500)
+    b.add_argument("--seed", type=int, default=42)
+    b.add_argument("--skew", type=float, default=2.0)
+    b.add_argument("--fresh", action="store_true", help="remove target dir first")
+
+    r = sub.add_parser("replay", help="replay an existing change-event parquet table")
+    _add_common(r)
+    r.add_argument("--events-table", required=True)
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import functions as F
+
+    from data_ingestor_py_spark.functions.content import content_sha256
+    from data_ingestor_py_spark.plans.replay import replay, split_batches
+    from data_ingestor_py_spark.plans.target import TargetTable
+    from data_ingestor_py_spark.session import get_spark
+
+    spark = get_spark("cdc-replay", cores=args.cores)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    if getattr(args, "fresh", False):
+        shutil.rmtree(args.target, ignore_errors=True)
+
+    if args.cmd == "bench-replay":
+        from data_ingestor_py_spark.sources.generator import change_events
+
+        events = change_events(
+            spark, args.n_events, n_repos=args.n_repos,
+            paths_per_repo=args.paths_per_repo, seed=args.seed, skew=args.skew,
+        )
+        n_events = args.n_events
+    else:
+        events = spark.read.parquet(args.events_table)
+        n_events = events.count()
+
+    table = TargetTable(spark, args.target)
+    if not table.exists():
+        table = TargetTable.create(
+            spark, args.target, key_cols=["repo", "path"],
+            columns=[
+                ("commit", "string"), ("lang", "string"), ("content", "string"),
+                ("_content_sha256", "string"),
+            ],
+            num_buckets=args.num_buckets,
+        )
+
+    def prep(df, i):
+        return df.withColumn("_content_sha256", content_sha256("content")).select(
+            "repo", "path", "commit", "lang", "content", "_content_sha256",
+            "_seq", "_op", "_ts",
+        )
+
+    t0 = time.time()
+    if "_batch" in events.columns:
+        # pre-assigned batches (partitioned binlog segments): the filter on
+        # the partition column prunes the scan to one segment per batch
+        batches = [
+            events.where(F.col("_batch") == i).drop("_batch")
+            for i in range(args.batches)
+        ]
+    else:
+        batches = split_batches(events, args.batches)
+    recs = replay(table, batches, salt_buckets=args.salt_buckets,
+                  prepare=prep, checksum=args.checksum,
+                  stats="light" if args.light_stats else "full",
+                  expire_keep=args.expire_keep)
+    wall = time.time() - t0
+    # steady-state rate: skip warmup batches (JIT compile + cold caches);
+    # best-batch rate filters host-level stall noise (VM steal time)
+    w = args.warmup_batches
+    steady = recs[w:] if len(recs) > w else recs
+    steady_rows = sum(r.rows_in for r in steady)
+    steady_secs = sum(r.duration_s for r in steady)
+    best = max((r.rows_in / r.duration_s for r in steady if r.duration_s), default=None)
+    out = {
+        "n_events": n_events,
+        "batches_run": [r.batch_id for r in recs],
+        "wall_s": round(wall, 2),
+        "events_per_sec": round(n_events / wall, 1),
+        "steady_events_per_sec": round(steady_rows / steady_secs, 1) if steady_secs else None,
+        "best_batch_events_per_sec": round(best, 1) if best else None,
+        "batch_secs": [round(r.duration_s, 2) for r in recs],
+        "batch_rows": [r.rows_in for r in recs],
+        "final_rows": sum(r.rows_applied for r in recs),
+        "snapshot_version": recs[-1].snapshot_version if recs else None,
+        "cores": args.cores,
+    }
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
 
 
 def content_sha256(col: str | Column = "content") -> Column:
@@ -26,7 +27,9 @@ def with_content_hash(df: DataFrame, col: str = "content", out: str = "_content_
     return df.withColumn(out, content_sha256(col))
 
 
-@pandas_udf("string")
+# DataType instance (not a DDL string) so the decorator does not require an
+# active SparkSession at import time.
+@pandas_udf(StringType())
 def normalize_content(s: pd.Series) -> pd.Series:
     """Vectorized content normalization: CRLF->LF, strip trailing spaces,
     ensure single trailing newline. Arrow-batched (M6)."""

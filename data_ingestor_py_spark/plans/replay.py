@@ -41,6 +41,8 @@ def replay(
     prepare: Callable[[DataFrame, int], DataFrame] | None = None,
     on_batch_start: Callable[[int, TargetTable], None] | None = None,
     checksum: bool = False,
+    stats: str = "full",
+    expire_keep: int = 0,
 ) -> list[BatchRecord]:
     """Replay a list of event micro-batches into ``table``.
 
@@ -60,17 +62,19 @@ def replay(
         if on_batch_start is not None:
             on_batch_start(i, table)
         df = prepare(batch, i) if prepare is not None else batch
-        stats = table.merge_apply(df, salt_buckets=salt_buckets)
+        st = table.merge_apply(df, salt_buckets=salt_buckets, stats=stats)
         csum = table.snapshot_hash() if checksum else ""
+        if expire_keep:
+            table.expire_snapshots(keep_last=expire_keep)
         t1 = time.time()
         rec = BatchRecord(
             batch_id=i,
-            src_offset_start=stats.seq_min,
-            src_offset_end=stats.seq_max,
-            rows_in=stats.rows_in,
-            rows_applied=stats.rows_after_dedup,
-            touched_buckets=stats.touched_buckets,
-            snapshot_version=stats.snapshot_version,
+            src_offset_start=st.seq_min,
+            src_offset_end=st.seq_max,
+            rows_in=st.rows_in,
+            rows_applied=st.rows_after_dedup,
+            touched_buckets=st.touched_buckets,
+            snapshot_version=st.snapshot_version,
             checksum=csum,
             status="COMMITTED",
             started_at=t0,
@@ -78,6 +82,6 @@ def replay(
             duration_s=t1 - t0,
         )
         cp.commit(rec)
-        lin.append(i, stats.bucket_rows)
+        lin.append(i, st.bucket_rows)
         out.append(rec)
     return out

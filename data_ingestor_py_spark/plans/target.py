@@ -63,6 +63,8 @@ class MergeStats:
     bucket_rows: list[tuple[int, int]]  # (bucket_id, applied rows) per bucket
     seq_min: int = 0
     seq_max: int = 0
+    discover_s: float = 0.0  # job 1: bucket discovery + stats
+    merge_s: float = 0.0  # job 2: union-reduce + bucket rewrite
 
 
 class TargetTable:
@@ -194,6 +196,14 @@ class TargetTable:
 
     # ---------------- read paths ----------------
 
+    def _written_ddl(self, m: dict, version: int) -> str:
+        fields = self.schema_fields(m, version)
+        return ", ".join(
+            [f"{k} string" for k in m["key_cols"]]
+            + [f"`{f['name']}` {f['type']}" for f in fields]
+            + [f"{m['seq_col']} long", "_op string", "_ts timestamp"]
+        )
+
     def _state_df(self, m: dict, bucket_ids: list[int] | None = None) -> DataFrame:
         """Raw state incl. tombstones for the given buckets (None = all)."""
         groups: dict[int, list[str]] = {}
@@ -205,7 +215,8 @@ class TargetTable:
             return self._empty_state(m)
         parts = []
         for schema_v, paths in groups.items():
-            df = self.spark.read.parquet(*paths)
+            # explicit schema: skips per-batch footer-based inference
+            df = self.spark.read.schema(self._written_ddl(m, schema_v)).parquet(*paths)
             parts.append(self._align(df, m, schema_v))
         out = parts[0]
         for p in parts[1:]:
@@ -227,13 +238,27 @@ class TargetTable:
         batch: DataFrame,
         salt_buckets: int = 0,
         dedup_ids: list[str] | None = None,
+        stats: str = "full",
     ) -> MergeStats:
         """Apply one micro-batch of change events.
 
-        Pipeline: drop replayed duplicates -> per-key max-_seq reduce
-        (salted if requested) -> union with current state of touched buckets
-        -> per-key max again (late events with _seq <= stored max lose) ->
-        rewrite only touched buckets -> atomic manifest swap.
+        Two Spark jobs per batch:
+
+        1. *Bucket discovery* — ``groupBy(bucket).agg(count_distinct(key))``
+           on the key columns only (column pruning keeps the payload out of
+           this scan). Yields touched buckets + per-batch applied-key counts
+           for the checkpoint; input row/offset stats ride along via
+           ``observe``. <= B tiny rows collected — metadata-scale, the
+           Iceberg analogue is manifest partition summaries.
+        2. *Merge* — union the touched buckets' state with the raw batch and
+           take the per-key max-``_seq`` row in ONE aggregation (the reduce
+           subsumes batch-internal dedup, late-event rejection, and the
+           upsert itself — no separate pre-reduce, which would sort the
+           payload twice), then rewrite only the touched buckets.
+
+        Per-bucket lineage counts come from the written parquet footers
+        (driver-side metadata read, no job). Skewed batches can spread the
+        hot key across ``salt_buckets`` reducers first (M3).
         """
         from pyspark.sql import Observation
 
@@ -241,56 +266,87 @@ class TargetTable:
         key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
         cols = self.current_columns(m)
 
-        # Input stats ride the reduce job via observe() — no extra count job.
+        batch = batch.select(*[F.col(c) for c in cols])
+
+        # Job 1: touched buckets from the key columns only; rows_in / seq
+        # offsets observed on the same pruned scan. ``stats='full'`` also
+        # counts distinct keys per bucket (exact applied-row lineage);
+        # ``'light'`` only collects the distinct bucket ids (a shuffle of
+        # B ints) and takes per-bucket rows from the written parquet
+        # footers afterwards — the cheap path for high-rate replays.
+        t_d0 = time.time()
         obs = Observation()
-        batch = batch.select(*[F.col(c) for c in cols]).observe(
+        keys_only = batch.select(*key_cols, F.col(seq_col)).observe(
             obs,
             F.count(F.lit(1)).alias("rows_in"),
             F.min(seq_col).alias("seq_min"),
             F.max(seq_col).alias("seq_max"),
         )
-        # NOTE: no separate dropDuplicates stage — the max-struct reduce below
-        # already collapses replayed duplicates deterministically, saving a
-        # full extra shuffle per batch.
-        reduced = (
-            salted_latest_by_key(batch, key_cols, seq_col, salt_buckets)
-            if salt_buckets
-            else latest_by_key(batch, key_cols, seq_col)
-        )
-        reduced = reduced.select(*cols).withColumn("bkt", _bucket_expr(key_cols, B))
-        # Touched-bucket discovery: <= B small ints — metadata-scale collect,
-        # the Iceberg equivalent is partition summaries in the manifest.
-        reduced = reduced.persist()
-        try:
+        bkts = keys_only.groupBy(_bucket_expr(key_cols, B).alias("bkt"))
+        if stats == "full":
             per_bucket = {
                 r["bkt"]: r["n"]
-                for r in reduced.groupBy("bkt").agg(F.count("*").alias("n")).collect()
+                for r in bkts.agg(
+                    F.count_distinct(*[F.col(c) for c in key_cols]).alias("n")
+                ).collect()
             }
-            ob = obs.get
-            rows_in = int(ob["rows_in"])
-            seq_min = int(ob["seq_min"] or 0)
-            seq_max = int(ob["seq_max"] or 0)
-            touched = sorted(per_bucket)
-            rows_dedup = sum(per_bucket.values())
-            if not touched:
-                return MergeStats(rows_in, 0, 0, m["version"], [])
+        else:
+            # events per bucket: plain count partial-aggregates map-side,
+            # so the shuffle carries <= B rows per input partition
+            per_bucket = {
+                r["bkt"]: r["n"] for r in bkts.agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+        ob = obs.get
+        rows_in = int(ob["rows_in"])
+        seq_min = int(ob["seq_min"] or 0)
+        seq_max = int(ob["seq_max"] or 0)
+        touched = sorted(per_bucket)
+        rows_dedup = sum(per_bucket.values()) if stats == "full" else -1
+        t_d1 = time.time()
+        if not touched:
+            return MergeStats(rows_in, 0, 0, m["version"], [])
 
-            state = self._state_df(m, touched).withColumn("bkt", _bucket_expr(key_cols, B))
-            merged = latest_by_key(
-                state.unionByName(reduced), key_cols + ["bkt"], seq_col
+        # Job 2: one-shot merge reduce + bucket rewrite, structured as a
+        # single shuffle: hash-partition by bucket, sort each partition by
+        # (key asc, _seq desc, payload desc), keep the first row per key via
+        # lag() — the same winner max(struct(_seq, payload...)) would pick,
+        # but the output is already partitioned exactly as the write layout
+        # (partitionBy(bkt)), so no second repartition shuffle is needed.
+        from pyspark.sql import Window
+
+        with_bkt = batch.withColumn("bkt", _bucket_expr(key_cols, B))
+        if salt_buckets:
+            # hot-key pre-reduce (M3): shrink the skewed key's rows across
+            # salt_buckets reducers before the global window sort
+            with_bkt = salted_latest_by_key(
+                with_bkt, key_cols + ["bkt"], seq_col, salt_buckets
             ).select(*cols, "bkt")
+        state = self._state_df(m, touched).withColumn("bkt", _bucket_expr(key_cols, B))
+        unioned = state.unionByName(with_bkt)
 
-            new_v = m["version"] + 1
-            rel = f"snap-{new_v:06d}"
-            out_dir = os.path.join(self.root, rel)
-            (
-                merged.repartition(max(len(touched), 1), F.col("bkt"))
-                .write.partitionBy("bkt")
-                .mode("overwrite")
-                .parquet(out_dir)
-            )
-        finally:
-            reduced.unpersist()
+        payload = [c for c in cols if c not in key_cols and c != seq_col]
+        # leading 8-byte hash makes the sorter's prefix comparator
+        # discriminate immediately (key strings share long common prefixes,
+        # which would force full string comparisons on every pair)
+        unioned = unioned.withColumn("_khash", F.xxhash64(*[F.col(c) for c in key_cols]))
+        w = Window.partitionBy("bkt").orderBy(
+            F.asc("_khash"),
+            *[F.asc(c) for c in key_cols], F.desc(seq_col), *[F.desc(c) for c in payload]
+        )
+        key_changed = F.lit(False)
+        for c in key_cols:
+            prev = F.lag(c).over(w)
+            key_changed = key_changed | prev.isNull() | (prev != F.col(c))
+        merged = (
+            unioned.withColumn("_is_first", key_changed)
+            .where(F.col("_is_first"))
+            .select(*cols, "bkt")
+        )
+
+        new_v = m["version"] + 1
+        rel = f"snap-{new_v:06d}"
+        out_dir = os.path.join(self.root, rel)
+        merged.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
 
         for b in touched:
             m["buckets"][str(b)] = {
@@ -306,6 +362,7 @@ class TargetTable:
         return MergeStats(
             rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()),
             seq_min, seq_max,
+            discover_s=round(t_d1 - t_d0, 3), merge_s=round(time.time() - t_d1, 3),
         )
 
     # ---------------- verification / maintenance ----------------

@@ -70,9 +70,12 @@ def change_events(
     lang_idx = F.pmod(F.xxhash64(e, F.lit(seed + 3)), F.lit(len(LANGS))).cast("int")
 
     repo = F.concat(F.lit("repo-"), F.lpad(repo_idx.cast("string"), 4, "0"))
+    # path derives from (repo_idx, path_idx) ONLY — the keyspace is exactly
+    # n_repos x paths_per_repo so replayed streams revisit keys (upserts
+    # actually update; state saturates instead of growing per event)
     path = F.concat(
         F.lit("src/"),
-        F.lower(F.hex(F.abs(F.xxhash64(e, F.lit(seed + 4))))),
+        F.lower(F.hex(F.abs(F.xxhash64(repo_idx * 100003 + path_idx, F.lit(seed + 4))))),
         F.lit("/f"),
         path_idx.cast("string"),
         F.lit(".txt"),
