@@ -1,0 +1,134 @@
+"""Text/similarity/dedup/join function semantics on the driver testdata."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.functions import similarity as S
+from data_ingestor_py_spark.functions import text as T
+from data_ingestor_py_spark.functions.content import normalize_content, table_state_hash
+from data_ingestor_py_spark.operators.dedup import latest_by_key, salted_latest_by_key
+from data_ingestor_py_spark.operators.join import dict_lookup
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+def test_token_hash_matches_python_sha(spark):
+    df = spark.createDataFrame([("tok",)], "t string").select(T.token_hash(F.col("t")).alias("h"))
+    expect = int(hashlib.sha256(b"tok").hexdigest()[:8], 16)
+    assert df.first()["h"] == expect
+
+
+def test_shingles_short_docs_empty(spark):
+    df = spark.createDataFrame([("a b",), ("a b c",), ("a b c d",)], "text string")
+    got = [r[0] for r in df.select(F.size(S.shingles("text"))).collect()]
+    assert got == [0, 1, 2]
+
+
+def test_jaccard_bounds_and_identity(spark):
+    df = spark.createDataFrame([("x y z w",)], "text string").select(
+        S.shingles("text").alias("sh")
+    )
+    j = df.select(S.jaccard(F.col("sh"), F.col("sh")).alias("j")).first()["j"]
+    assert j == 1.0
+
+
+def test_minhash_approximates_jaccard(spark):
+    """Identical docs share full signatures; disjoint docs share none."""
+    df = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f"), (3, "q r s t u v")],
+        "doc_id long, text string",
+    ).select("doc_id", S.minhash_signature("text").alias("sig"))
+    rows = {r["doc_id"]: r["sig"] for r in df.collect()}
+    assert rows[1] == rows[2]
+    assert sum(a == b for a, b in zip(rows[1], rows[3])) <= 2
+
+
+def test_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    near = base + " tail"
+    df = spark.createDataFrame(
+        [(i, base) for i in range(3)] + [(10, near), (20, "completely different words entirely here")],
+        "doc_id long, text string",
+    )
+    pairs = S.minhash_near_duplicates(df, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(0, 1), (0, 2), (1, 2)} <= got
+    assert all(20 not in p for p in got)
+
+
+def test_simhash_similar_docs_close(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"), (2, "alpha beta gamma delta epsilon eta"),
+         (3, "one two three four five six")],
+        "doc_id long, text string",
+    ).select("doc_id", S.simhash("text").alias("h"))
+    rows = {r["doc_id"]: r["h"] for r in df.collect()}
+    d12 = bin(rows[1] ^ rows[2]).count("1")
+    d13 = bin(rows[1] ^ rows[3]).count("1")
+    assert d12 < d13
+
+
+def test_topk_cosine_self_is_excluded_and_ranked(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    out = S.topk_cosine(emb.where("vec_id < 3"), emb, k=4).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    for q, rows in per_q.items():
+        assert sorted(r[0] for r in rows) == [1, 2, 3, 4]
+        assert all(n != q for _, n in rows)
+
+
+def test_language_id_accuracy_on_en(spark):
+    """The generator's docs use an English-ish vocabulary; en-labeled docs
+    should mostly be predicted en (heuristic sanity, not a model test)."""
+    out = T.language_id(_docs(spark))
+    en = out.where("true_lang = 'en'")
+    acc = en.where("pred_lang = 'en'").count() / max(en.count(), 1)
+    assert acc > 0.5
+
+
+def test_quality_metrics_shapes(spark):
+    out = T.quality_metrics(_docs(spark)).collect()
+    for r in out[:50]:
+        assert r["n_tokens_rx"] >= r["n_punct"]
+        assert 0 <= r["n_stop_distinct"] <= 10
+
+
+def test_dedup_latest_vs_salted_identical(spark):
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    a = latest_by_key(ev, ["user_id"], "event_id")
+    b = salted_latest_by_key(ev, ["user_id"], "event_id", salt_buckets=7)
+    assert table_state_hash(a) == table_state_hash(b)
+
+
+def test_dict_lookup_broadcast_plan(spark):
+    """J1: the dictionary join must be a BroadcastHashJoin, not a
+    sort-merge shuffle."""
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    nat = spark.read.parquet(f"{SF_DIR}/nation.parquet").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    out = dict_lookup(cust, nat, "c_nationkey")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert out.count() == cust.count()  # left join keeps all facts
+
+
+def test_normalize_content_pandas_udf(spark):
+    df = spark.createDataFrame([("a \r\nb  \n",), (None,)], "content string")
+    out = [r[0] for r in df.select(normalize_content("content")).collect()]
+    assert out[0] == "a\nb\n"
+    assert out[1] is None
+
+
+def test_exact_dedup_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    out = {r["canonical_id"]: r["n_copies"] for r in S.exact_dedup(df).collect()}
+    assert out == {1: 2, 3: 1}
