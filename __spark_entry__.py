@@ -293,6 +293,20 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return S.ann_lsh_topk(emb.where("vec_id < 8"), emb, k=5, planes=4, dims=dim)
 
 
+def q_multimodal_decode_features(spark, sf_dir):
+    # binary media -> Arrow-batched decode + feature extraction (stub codec,
+    # real mapInPandas plumbing); rows-only check (not SQL-expressible)
+    from data_ingestor_py_spark.functions.multimodal import decode_features, synth_media
+
+    return decode_features(synth_media(spark, 200, "image"), dims=16)
+
+
+def q_multimodal_frame_sample(spark, sf_dir):
+    from data_ingestor_py_spark.functions.multimodal import sample_frames, synth_media
+
+    return sample_frames(synth_media(spark, 100, "video"), every_k=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
@@ -317,6 +331,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "multimodal_decode_features": q_multimodal_decode_features,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
 
