@@ -92,6 +92,11 @@ class TargetTable:
         with open(tmp, "w") as f:
             json.dump(m, f, indent=1)
         os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+        # retained manifest per version -> time travel (Iceberg metadata files)
+        vdir = os.path.join(self.root, "_versions")
+        os.makedirs(vdir, exist_ok=True)
+        with open(os.path.join(vdir, f"manifest-v{m['version']:06d}.json"), "w") as f:
+            json.dump(m, f)
 
     @classmethod
     def create(
@@ -230,6 +235,14 @@ class TargetTable:
 
     def read_raw(self) -> DataFrame:
         return self._state_df(self._load())
+
+    def read_version(self, version: int) -> DataFrame:
+        """Time travel: visible rows as of snapshot ``version`` (works while
+        the referenced snapshot dirs have not been expired)."""
+        p = os.path.join(self.root, "_versions", f"manifest-v{version:06d}.json")
+        with open(p) as f:
+            m = json.load(f)
+        return self._state_df(m).where(F.col("_op") != "D")
 
     # ---------------- merge-apply (M1/M2/M3/M9) ----------------
 
