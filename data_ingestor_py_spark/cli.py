@@ -129,7 +129,10 @@ def main(argv: list[str] | None = None) -> int:
         "best_batch_events_per_sec": round(best, 1) if best else None,
         "batch_secs": [round(r.duration_s, 2) for r in recs],
         "batch_rows": [r.rows_in for r in recs],
-        "final_rows": sum(r.rows_applied for r in recs),
+        "final_rows": (
+            sum(r.rows_applied for r in recs)
+            if all(r.rows_applied >= 0 for r in recs) else None  # light stats
+        ),
         "snapshot_version": recs[-1].snapshot_version if recs else None,
         "cores": args.cores,
     }
