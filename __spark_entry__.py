@@ -293,6 +293,18 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return S.ann_lsh_topk(emb.where("vec_id < 8"), emb, k=5, planes=4, dims=dim)
 
 
+def q_pipeline_training_prep(spark, sf_dir):
+    """End-to-end training-data prep: quality filter -> exact-dedup
+    canonicals -> language ID -> token counts, composed from the individual
+    operators (each independently oracle-checked)."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = T.quality_metrics(docs).where("is_quality").select("doc_id", "n_chars")
+    canon = S.exact_dedup(docs).select(F.col("canonical_id").alias("doc_id"))
+    lang = T.language_id(docs).select("doc_id", "pred_lang")
+    toks = docs.select("doc_id", T.token_count("text").alias("n_tokens"))
+    return keep.join(canon, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
+
+
 def q_multimodal_decode_features(spark, sf_dir):
     # binary media -> Arrow-batched decode + feature extraction (stub codec,
     # real mapInPandas plumbing); rows-only check (not SQL-expressible)
@@ -331,6 +343,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "pipeline_training_prep": q_pipeline_training_prep,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
@@ -519,6 +532,16 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "ann_topk_cosine": _cosine_topk_sql(),
+        "pipeline_training_prep": (
+            f"SELECT q.doc_id, q.n_chars, l.pred_lang, t.n_tokens "
+            f"FROM ({_quality_sql()}) q "
+            f"JOIN (SELECT min(doc_id) AS doc_id FROM documents GROUP BY sha256(text)) c "
+            f"ON c.doc_id = q.doc_id "
+            f"JOIN ({_langid_sql()}) l ON l.doc_id = q.doc_id "
+            f"JOIN (SELECT doc_id, len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS n_tokens "
+            f"FROM documents) t ON t.doc_id = q.doc_id "
+            f"WHERE q.is_quality"
+        ),
         # minhash_lsh_neardup / ann_lsh_bucketed: approximate candidate
         # generation — rows-only check (exactness covered by the signature
         # and brute-force twins above).
