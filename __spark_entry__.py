@@ -293,6 +293,55 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return S.ann_lsh_topk(emb.where("vec_id < 8"), emb, k=5, planes=4, dims=dim)
 
 
+def q_join_revenue_by_nation(spark, sf_dir):
+    """Multi-table join + agg (TPC-H Q5 flavour): customer x orders x
+    lineitem x nation, revenue per nation in exact decimal stepped to
+    double. Exercises join reordering + broadcast of the small dims."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    n = _t(spark, sf_dir, "nation")
+    dec = lambda col: F.col(col).cast("decimal(18,6)")  # noqa: E731
+    rev = (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount"))).cast(
+        "decimal(28,12)"
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(rev).cast("decimal(28,4)").cast("double").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+def q_topk_orders_by_value(spark, sf_dir):
+    """Sort/limit/top-k (absent from the reference): top 20 orders by total
+    price with deterministic tie-break."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 20)
+        .select("rank", "o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def q_set_ops_active_users(spark, sf_dir):
+    """Set operations (absent from the reference): users who purchased but
+    never errored = EXCEPT; both = INTERSECT counts."""
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.where("event_type = 'purchase'").select("user_id").distinct()
+    erroring = ev.where("event_type = 'error'").select("user_id").distinct()
+    clean = buyers.exceptAll(buyers.intersect(erroring)).withColumn(
+        "segment", F.lit("clean_buyer")
+    )
+    both = buyers.intersect(erroring).withColumn("segment", F.lit("buyer_with_errors"))
+    return clean.unionByName(both)
+
+
 def q_pipeline_training_prep(spark, sf_dir):
     """End-to-end training-data prep: quality filter -> exact-dedup
     canonicals -> language ID -> token counts, composed from the individual
@@ -343,6 +392,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "topk_orders_by_value": q_topk_orders_by_value,
+        "set_ops_active_users": q_set_ops_active_users,
         "pipeline_training_prep": q_pipeline_training_prep,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -532,6 +584,28 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents"
         ),
         "ann_topk_cosine": _cosine_topk_sql(),
+        "join_revenue_by_nation": (
+            "SELECT n_name, "
+            "CAST(CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,6)) * "
+            "(CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6))) AS DECIMAL(28,12))) "
+            "AS DECIMAL(28,4)) AS DOUBLE) AS revenue, count(*) AS n_items "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "GROUP BY n_name"
+        ),
+        "topk_orders_by_value": (
+            "SELECT rank, o_orderkey, o_custkey, o_totalprice FROM ("
+            "SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank "
+            "FROM orders) WHERE rank <= 20"
+        ),
+        "set_ops_active_users": (
+            "WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), "
+            "e AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') "
+            "SELECT user_id, 'clean_buyer' AS segment FROM (SELECT * FROM b EXCEPT SELECT * FROM b INTERSECT SELECT * FROM e) "
+            "UNION ALL "
+            "SELECT user_id, 'buyer_with_errors' AS segment FROM (SELECT * FROM b INTERSECT SELECT * FROM e)"
+        ),
         "pipeline_training_prep": (
             f"SELECT q.doc_id, q.n_chars, l.pred_lang, t.n_tokens "
             f"FROM ({_quality_sql()}) q "
