@@ -293,6 +293,11 @@ def q_ann_lsh_bucketed(spark, sf_dir):
     return S.ann_lsh_topk(emb.where("vec_id < 8"), emb, k=5, planes=4, dims=dim)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.ivf_topk(emb.where("vec_id < 8"), emb, k=5, n_lists=8, n_probe=3)
+
+
 def q_join_revenue_by_nation(spark, sf_dir):
     """Multi-table join + agg (TPC-H Q5 flavour): customer x orders x
     lineitem x nation, revenue per nation in exact decimal stepped to
@@ -392,6 +397,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_regex": q_token_count_regex,
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "topk_orders_by_value": q_topk_orders_by_value,
         "set_ops_active_users": q_set_ops_active_users,

@@ -28,6 +28,9 @@ HEADLINE = [
     "agg_pricing_summary",
     "broadcast_dict_join",
     "sessionize_events",
+    "join_revenue_by_nation",
+    "topk_orders_by_value",
+    "pipeline_training_prep",
     "exact_dedup_documents",
     "minhash_signatures",
     "minhash_lsh_neardup",

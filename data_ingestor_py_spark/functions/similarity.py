@@ -211,6 +211,65 @@ def lsh_hyperplane_bucket(vec_col: str | Column, planes: int = 8, dims: int = 64
     return out.cast("int")
 
 
+def ivf_topk(
+    queries: DataFrame, corpus: DataFrame, k: int = 5, n_lists: int = 16,
+    n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_lists`` cells
+    around deterministically sampled centroid vectors; a query scans only
+    its ``n_probe`` nearest cells.
+
+    Scale shape: centroids are a tiny broadcast table; assignment is a
+    broadcast cross-join + argmin (one narrow pass over the corpus, no
+    shuffle beyond the final per-query top-k); the probed join prunes the
+    candidate set ~n_lists/n_probe x. A real deployment would k-means the
+    centroids and persist the cell assignment as a bucketed column — the
+    query-time plan is identical.
+    """
+    # deterministic "training": centroids = corpus rows whose id hashes lowest
+    cent = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("_h", F.xxhash64(F.col("cid"), F.lit(seed)))
+        .orderBy("_h")
+        .limit(n_lists)
+        .drop("_h")
+    )
+    cent_b = F.broadcast(cent)
+
+    def best_cells(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
+        scored = df.join(cent_b).select(
+            idc, vc, "cid", cosine(F.col(vc), F.col("cv")).alias("_cs")
+        )
+        w = Window.partitionBy(idc).orderBy(F.desc("_cs"), F.asc("cid"))
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") <= n)
+            .select(idc, vc, F.col("cid").alias(out))
+        )
+
+    corpus_cells = best_cells(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2")),
+        "neighbor_id", "cv2", 1, "cell",
+    )
+    query_cells = best_cells(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
+        "query_id", "qv", n_probe, "cell",
+    )
+    scored = (
+        F.broadcast(query_cells)
+        .join(corpus_cells, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv2")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding", dims: int = 64,

@@ -132,3 +132,13 @@ def test_exact_dedup_counts(spark):
     )
     out = {r["canonical_id"]: r["n_copies"] for r in S.exact_dedup(df).collect()}
     assert out == {1: 2, 3: 1}
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF with generous probes must recover most exact neighbors."""
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in S.topk_cosine(emb.where("vec_id < 5"), emb, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in S.ivf_topk(emb.where("vec_id < 5"), emb, k=5, n_lists=8, n_probe=4).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
