@@ -78,6 +78,24 @@ def _append_arrow(dir_: str, table: pa.Table) -> None:
     pq.write_table(table, os.path.join(dir_, f"part-{uuid.uuid4().hex}.parquet"))
 
 
+def _compact_dir(dir_: str, schema: pa.Schema) -> int:
+    """Rewrite many per-batch metadata files into one (long replays append
+    one tiny file per batch; compaction keeps the listing cheap). Returns
+    the number of files compacted."""
+    if not os.path.isdir(dir_):
+        return 0
+    files = sorted(f for f in os.listdir(dir_) if f.endswith(".parquet"))
+    if len(files) <= 1:
+        return 0
+    t = pads.dataset(dir_, format="parquet").to_table()
+    t = t.cast(schema)
+    tmp = os.path.join(dir_, f"compact-{uuid.uuid4().hex}.parquet")
+    pq.write_table(t, tmp)
+    for f in files:
+        os.remove(os.path.join(dir_, f))
+    return len(files)
+
+
 class Checkpoint:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -100,6 +118,9 @@ class Checkpoint:
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.dir)
+
+    def compact(self) -> int:
+        return _compact_dir(self.dir, _CP_ARROW)
 
 
 LINEAGE_DDL = "batch_id long, bucket int, rows long, committed_at double"
@@ -132,3 +153,6 @@ class Lineage:
 
     def read(self) -> DataFrame:
         return self.spark.read.schema(LINEAGE_DDL).parquet(self.dir)
+
+    def compact(self) -> int:
+        return _compact_dir(self.dir, _LIN_ARROW)

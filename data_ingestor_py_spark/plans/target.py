@@ -309,15 +309,17 @@ class TargetTable:
             per_bucket = {
                 r["bkt"]: r["n"] for r in bkts.agg(F.count(F.lit(1)).alias("n")).collect()
             }
+        touched = sorted(per_bucket)
+        if not touched:
+            # empty batch: Observation.get would assert (pyspark 4.1 edge —
+            # no row ever reaches an observed node on empty input)
+            return MergeStats(0, 0, 0, m["version"], [])
         ob = obs.get
         rows_in = int(ob["rows_in"])
         seq_min = int(ob["seq_min"] or 0)
         seq_max = int(ob["seq_max"] or 0)
-        touched = sorted(per_bucket)
         rows_dedup = sum(per_bucket.values()) if stats == "full" else -1
         t_d1 = time.time()
-        if not touched:
-            return MergeStats(rows_in, 0, 0, m["version"], [])
 
         # Job 2: one-shot merge reduce + bucket rewrite, structured as a
         # single shuffle: hash-partition by bucket, sort each partition by

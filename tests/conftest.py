@@ -22,6 +22,13 @@ def sf_dir():
     return SF_DIR
 
 
+@pytest.fixture(scope="session")
+def spark_global(spark):
+    """Alias usable inside hypothesis @given tests (function-scoped fixtures
+    are disallowed there)."""
+    return spark
+
+
 def make_table(spark, tmp, **kw):
     from data_ingestor_py_spark.plans.target import TargetTable
 
