@@ -380,6 +380,34 @@ class TargetTable:
             discover_s=round(t_d1 - t_d0, 3), merge_s=round(time.time() - t_d1, 3),
         )
 
+    def bulk_load(self, df: DataFrame) -> MergeStats:
+        """Initial-load fast path: the input is already one-row-per-key
+        (e.g. a table snapshot), so the dedup window is unnecessary — just
+        bucket-partition and write. The 100 TB first load is this code path;
+        incremental batches then use :meth:`merge_apply`."""
+        m = self._load()
+        if m["buckets"]:
+            raise ValueError("bulk_load requires an empty table")
+        key_cols, B = m["key_cols"], m["num_buckets"]
+        cols = self.current_columns(m)
+        out = df.select(*cols).withColumn("bkt", _bucket_expr(key_cols, B))
+        new_v = m["version"] + 1
+        rel = f"snap-{new_v:06d}"
+        out.repartition(B, F.col("bkt")).write.partitionBy("bkt").mode(
+            "overwrite"
+        ).parquet(os.path.join(self.root, rel))
+        written = [
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(self.root, rel))
+            if d.startswith("bkt=")
+        ]
+        for b in written:
+            m["buckets"][str(b)] = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
+        m["version"] = new_v
+        m["history"].append({"at": time.time(), "snapshot": new_v, "op": "bulk_load"})
+        self._commit_manifest(m)
+        return MergeStats(-1, -1, len(written), new_v, [])
+
     # ---------------- verification / maintenance ----------------
 
     def snapshot_hash(self) -> str:

@@ -110,3 +110,26 @@ def test_copy_on_write_reuses_untouched_buckets(spark, tmp_path):
     assert len(changed) == 1
     unchanged = [b for b in m1["buckets"] if b not in changed]
     assert all(m2["buckets"][b]["path"].startswith("snap-000001") for b in unchanged)
+
+
+def test_bulk_load_then_incremental(spark, tmp_path):
+    """Initial snapshot via the bulk-load fast path, then incremental
+    merges — equivalent to replaying everything through merge_apply."""
+    from data_ingestor_py_spark.sources.generator import repo_files_seed
+
+    seed = _prep(repo_files_seed(spark, 800, n_repos=20, paths_per_repo=10, seed=21))
+    from data_ingestor_py_spark.operators.dedup import latest_by_key
+
+    snapshot = latest_by_key(seed, ["repo", "path"])  # one row per key
+    inc = _prep(change_events(spark, 1200, n_repos=20, paths_per_repo=10, seed=21)).where(
+        "_seq >= 800"
+    )
+
+    t1 = make_table(spark, tmp_path / "bulk")
+    t1.bulk_load(snapshot.select(*snapshot.columns))
+    t1.merge_apply(inc)
+
+    t2 = make_table(spark, tmp_path / "merge")
+    t2.merge_apply(seed)
+    t2.merge_apply(inc)
+    assert t1.snapshot_hash() == t2.snapshot_hash()
