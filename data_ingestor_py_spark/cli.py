@@ -54,7 +54,25 @@ def main(argv: list[str] | None = None) -> int:
     _add_common(r)
     r.add_argument("--events-table", required=True)
 
+    v = sub.add_parser("verify-state", help="sha256-verified final table state")
+    v.add_argument("--target", required=True)
+    v.add_argument("--cores", type=int, default=None)
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "verify-state":
+        from data_ingestor_py_spark.plans.target import TargetTable
+        from data_ingestor_py_spark.session import get_spark as _gs
+
+        spark = _gs("verify-state", cores=args.cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = TargetTable(spark, args.target)
+        h = t.snapshot_hash()
+        n, s = h.split(":")
+        print(json.dumps({"target": args.target, "rows": int(n), "state_hash": s,
+                          "snapshot_version": t._load()["version"]}))
+        spark.stop()
+        return 0
 
     from pyspark.sql import functions as F
 

@@ -144,3 +144,28 @@ def test_excel_positional_layout(spark, with_table_name):
     assert df.count() == 2
     assert table_name == ("sflw_recs" if with_table_name else None)
     assert {r["user"] for r in df.collect()} == {"alice", "bob"}
+
+def test_three_schema_versions_coexist(spark, tmp_path):
+    """Buckets written under three schema versions align on read: rename
+    chains resolve by field id, retypes cast, adds NULL-fill."""
+    t = make_table(spark, tmp_path / "t")
+    t.merge_apply(_mk(spark, [("r1", "v1row", 1, "I", "a")]).select(*BASE_COLS))
+    t.evolve(add=[("stars", "int")])
+    t.merge_apply(
+        _mk(spark, [("r2", "v2row", 2, "I", "b")])
+        .withColumn("stars", F.lit(3).cast("int"))
+        .select(*BASE_COLS[:6], "stars", *BASE_COLS[6:])
+    )
+    t.evolve(rename={"lang": "language", "stars": "rating"}, retype={"stars": "long"})
+    t.evolve(retype={"rating": "long"})
+    t.merge_apply(
+        _mk(spark, [("r3", "v3row", 3, "I", "c")])
+        .withColumnRenamed("lang", "language")
+        .withColumn("rating", F.lit(9).cast("long"))
+        .select("repo", "path", "commit", "language", "content", "_content_sha256",
+                "rating", "_seq", "_op", "_ts")
+    )
+    out = {r["repo"]: (r["language"], r["rating"]) for r in t.read().collect()}
+    assert out == {"r1": ("py", None), "r2": ("py", 3), "r3": ("py", 9)}
+    [(dtype,)] = [(f.dataType.simpleString(),) for f in t.read().schema.fields if f.name == "rating"]
+    assert dtype == "bigint"
