@@ -107,9 +107,16 @@ class TargetTable:
         columns: list[tuple[str, str]],
         num_buckets: int = 64,
         seq_col: str = "_seq",
+        bucket_cols: list[str] | None = None,
     ) -> "TargetTable":
         """Create an empty table. ``columns`` = [(name, spark_type)] for the
-        payload; engine columns (_seq, _op, _ts) are always present."""
+        payload; engine columns (_seq, _op, _ts) are always present.
+
+        ``bucket_cols`` chooses the partition spec (Iceberg ``bucket(N, …)``):
+        default is the full key — uniform spread, every batch touches every
+        bucket; ``["repo"]`` co-locates a repo's files so repo-local CDC
+        batches read/rewrite only their repos' buckets (at the cost of
+        bucket-size skew for hot repos — pick per workload)."""
         os.makedirs(root, exist_ok=True)
         t = cls(spark, root)
         fields = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(columns)]
@@ -117,6 +124,7 @@ class TargetTable:
             "format_version": 1,
             "version": 0,
             "key_cols": key_cols,
+            "bucket_cols": bucket_cols or key_cols,
             "seq_col": seq_col,
             "num_buckets": num_buckets,
             "current_schema": 1,
@@ -277,6 +285,7 @@ class TargetTable:
 
         m = self._load()
         key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
+        bucket_cols = m.get("bucket_cols", key_cols)
         cols = self.current_columns(m)
 
         batch = batch.select(*[F.col(c) for c in cols])
@@ -295,7 +304,7 @@ class TargetTable:
             F.min(seq_col).alias("seq_min"),
             F.max(seq_col).alias("seq_max"),
         )
-        bkts = keys_only.groupBy(_bucket_expr(key_cols, B).alias("bkt"))
+        bkts = keys_only.groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
         if stats == "full":
             per_bucket = {
                 r["bkt"]: r["n"]
@@ -329,14 +338,14 @@ class TargetTable:
         # (partitionBy(bkt)), so no second repartition shuffle is needed.
         from pyspark.sql import Window
 
-        with_bkt = batch.withColumn("bkt", _bucket_expr(key_cols, B))
+        with_bkt = batch.withColumn("bkt", _bucket_expr(bucket_cols, B))
         if salt_buckets:
             # hot-key pre-reduce (M3): shrink the skewed key's rows across
             # salt_buckets reducers before the global window sort
             with_bkt = salted_latest_by_key(
                 with_bkt, key_cols + ["bkt"], seq_col, salt_buckets
             ).select(*cols, "bkt")
-        state = self._state_df(m, touched).withColumn("bkt", _bucket_expr(key_cols, B))
+        state = self._state_df(m, touched).withColumn("bkt", _bucket_expr(bucket_cols, B))
         unioned = state.unionByName(with_bkt)
 
         payload = [c for c in cols if c not in key_cols and c != seq_col]
@@ -389,8 +398,9 @@ class TargetTable:
         if m["buckets"]:
             raise ValueError("bulk_load requires an empty table")
         key_cols, B = m["key_cols"], m["num_buckets"]
+        bucket_cols = m.get("bucket_cols", key_cols)
         cols = self.current_columns(m)
-        out = df.select(*cols).withColumn("bkt", _bucket_expr(key_cols, B))
+        out = df.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
         rel = f"snap-{new_v:06d}"
         out.repartition(B, F.col("bkt")).write.partitionBy("bkt").mode(

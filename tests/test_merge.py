@@ -133,3 +133,29 @@ def test_bulk_load_then_incremental(spark, tmp_path):
     t2.merge_apply(seed)
     t2.merge_apply(inc)
     assert t1.snapshot_hash() == t2.snapshot_hash()
+
+
+def test_repo_bucketing_prunes_repo_local_batches(spark, tmp_path):
+    """Partition-spec choice: bucketing on repo alone co-locates a repo's
+    files, so a repo-local batch touches exactly one bucket (vs scattering
+    across all buckets under full-key hashing)."""
+    from data_ingestor_py_spark.plans.target import TargetTable
+
+    t = TargetTable.create(
+        spark, str(tmp_path / "t"), key_cols=["repo", "path"],
+        columns=[("commit", "string"), ("lang", "string"), ("content", "string"),
+                 ("_content_sha256", "string")],
+        num_buckets=16, bucket_cols=["repo"],
+    )
+    ev = _prep(change_events(spark, 2000, n_repos=30, paths_per_repo=10, seed=6))
+    t.merge_apply(ev)
+    one_repo = _prep(
+        change_events(spark, 4000, n_repos=30, paths_per_repo=10, seed=6)
+    ).where("repo = 'repo-0003' AND _seq >= 2000")
+    st = t.merge_apply(one_repo)
+    assert st.touched_buckets == 1
+    # per-key dedup semantics unaffected by the partition spec
+    ref = make_table(spark, tmp_path / "ref", num_buckets=16)
+    ref.merge_apply(ev)
+    ref.merge_apply(one_repo)
+    assert t.snapshot_hash() == ref.snapshot_hash()
