@@ -494,6 +494,112 @@ def _cosine_topk_sql() -> str:
           FROM s) WHERE rank <= 5"""
 
 
+def _minhash_cte() -> str:
+    """Shared CTEs: shingles + hashed shingles + signature columns."""
+    toks = TOKS_SQL
+    sh = (
+        f"list_distinct(list_transform(range(1, greatest(len({toks}) - 1, 1)), "
+        f"i -> {toks}[i] || ' ' || {toks}[i+1] || ' ' || {toks}[i+2]))"
+    )
+    h = HASH_SQL.format(x="s") + f" % {P}"
+    cols = ", ".join(
+        f"list_aggregate(list_transform(hs, x -> ({a} * x + {b}) % {P}), 'min') AS m{i}"
+        for i, (a, b) in enumerate(S.MINHASH_COEFFS)
+    )
+    return (
+        f"sh AS (SELECT doc_id, {sh} AS shingles FROM documents), "
+        f"h AS (SELECT doc_id, list_transform(shingles, s -> {h}) AS hs FROM sh), "
+        f"sig AS (SELECT doc_id, {cols} FROM h)"
+    )
+
+
+def _lsh_neardup_sql(bands: int = 4, rows_per_band: int = 2, threshold: float = 0.05) -> str:
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    inter = "len(list_intersect(s1.shingles, s2.shingles))"
+    return f"""
+        WITH {_minhash_cte()},
+        bands AS ({band_rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                 WHERE a.doc_id < b.doc_id),
+        js AS (SELECT c.id_a, c.id_b,
+                      {inter}::DOUBLE /
+                      (len(s1.shingles) + len(s2.shingles) - {inter})::DOUBLE AS jaccard
+               FROM cand c JOIN sh s1 ON s1.doc_id = c.id_a JOIN sh s2 ON s2.doc_id = c.id_b)
+        SELECT id_a, id_b, jaccard FROM js WHERE jaccard >= {threshold}"""
+
+
+def _lsh_ann_sql(planes: int = 4, dims: int = 64, k: int = 5) -> str:
+    import hashlib as _hl
+
+    def signs(p: int) -> str:
+        vals = [
+            "1.0" if int(_hl.sha256(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else "-1.0"
+            for i in range(dims)
+        ]
+        return "[" + ", ".join(vals) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> embedding[i]::DOUBLE * ({signs(p)})[i]), 'sum') > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    dot = (
+        "list_aggregate(list_transform(range(1, len(qv)+1), "
+        "i -> qv[i]::DOUBLE * cv[i]::DOUBLE), 'sum')"
+    )
+    norm = "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    return f"""
+        WITH cells AS (SELECT vec_id, embedding, ({bucket}) AS b FROM embeddings),
+        q AS (SELECT vec_id AS query_id, embedding AS qv, b FROM cells WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, embedding AS cv, b FROM cells),
+        s AS (SELECT query_id, neighbor_id,
+                     {dot} / ({norm.format(v='qv')} * {norm.format(v='cv')}) AS cos
+              FROM q JOIN c USING (b) WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= {k}"""
+
+
+def _ivf_sql(n_lists: int = 8, n_probe: int = 3, k: int = 5, seed: int = 42) -> str:
+    cos = (
+        "list_aggregate(list_transform(range(1, len({a})+1), "
+        "i -> {a}[i]::DOUBLE * {b}[i]::DOUBLE), 'sum') / "
+        "(sqrt(list_aggregate(list_transform({a}, x -> x::DOUBLE * x::DOUBLE), 'sum')) * "
+        "sqrt(list_aggregate(list_transform({b}, x -> x::DOUBLE * x::DOUBLE), 'sum')))"
+    )
+    return f"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS cv FROM embeddings
+          ORDER BY ('0x' || substr(sha256('{seed}:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT, vec_id
+          LIMIT {n_lists}),
+        corpus_cells AS (
+          SELECT neighbor_id, cv2, cell FROM (
+            SELECT e.vec_id AS neighbor_id, e.embedding AS cv2, c.cid AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos.format(a='e.embedding', b='c.cv')} DESC, c.cid ASC) AS r
+            FROM embeddings e, cent c) WHERE r <= 1),
+        query_cells AS (
+          SELECT query_id, qv, cell FROM (
+            SELECT e.vec_id AS query_id, e.embedding AS qv, c.cid AS cell,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {cos.format(a='e.embedding', b='c.cv')} DESC, c.cid ASC) AS r
+            FROM embeddings e, cent c WHERE e.vec_id < 8) WHERE r <= {n_probe}),
+        s AS (SELECT query_id, neighbor_id, {cos.format(a='qv', b='cv2')} AS cos
+              FROM query_cells JOIN corpus_cells USING (cell)
+              WHERE query_id <> neighbor_id)
+        SELECT query_id, neighbor_id, rank FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+          FROM s) WHERE rank <= {k}"""
+
+
 def oracle_sql() -> dict[str, str]:
     cdc_base = (
         "SELECT user_id, CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k, "
@@ -622,9 +728,10 @@ def oracle_sql() -> dict[str, str]:
             f"FROM documents) t ON t.doc_id = q.doc_id "
             f"WHERE q.is_quality"
         ),
-        # minhash_lsh_neardup / ann_lsh_bucketed: approximate candidate
-        # generation — rows-only check (exactness covered by the signature
-        # and brute-force twins above).
+        "minhash_lsh_neardup": _lsh_neardup_sql(),
+        "ann_lsh_bucketed": _lsh_ann_sql(),
+        "ann_ivf_topk": _ivf_sql(),
+        # multimodal_*: binary decode — rows-only by nature.
     }
 
 

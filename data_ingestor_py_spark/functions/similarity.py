@@ -114,6 +114,9 @@ def minhash_lsh_candidates(
     k = bands * rows_per_band
     sig = minhash_signature(text_col, k)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    # docs with no shingles have NULL signatures — excluded (matches the
+    # SQL oracle, where NULL band keys never join)
+    with_sig = with_sig.where(F.element_at("sig", 1).isNotNull())
     band = with_sig.select(
         "id",
         F.explode(
@@ -227,11 +230,17 @@ def ivf_topk(
     centroids and persist the cell assignment as a bucketed column — the
     query-time plan is identical.
     """
-    # deterministic "training": centroids = corpus rows whose id hashes lowest
+    # deterministic "training": centroids = corpus rows whose id hashes
+    # lowest (sha-prefix hash — engine-portable, so the DuckDB oracle picks
+    # identical centroids)
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), F.col("cid").cast("string")), 256), 1, 8),
+        16, 10,
+    ).cast("long")
     cent = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("_h", F.xxhash64(F.col("cid"), F.lit(seed)))
-        .orderBy("_h")
+        .withColumn("_h", h)
+        .orderBy("_h", "cid")
         .limit(n_lists)
         .drop("_h")
     )
