@@ -122,12 +122,20 @@ and throttles beyond ~16 concurrent threads (pure-CPU sha256 scaling:
 8->32 procs = 0.43 efficiency, 2->8 = 0.91 — hardware ceiling), so N=2 /
 4N=8 is the honest core pair and the best sustained batch filters stalls.
 
-Final table rows (both levels, deterministic): {r_hi['final_rows']:,}.
+Final table rows (both levels, deterministic): {r_hi['final_rows'] or 'light-stats run (see verify-state)'}.
 Correctness at both levels is covered by tests/test_replay.py (snapshot-hash
 equality across batch sizes and parallelism).
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
-        f.write(md)
+    out_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    tail = ""
+    if os.path.exists(out_path):
+        old = open(out_path).read()
+        # preserve manually appended sections (sustained scale, skew, ...)
+        idx = old.find("\n## ", old.find("## Merge-apply scaling") + 1)
+        if idx != -1:
+            tail = old[idx:]
+    with open(out_path, "w") as f:
+        f.write(md + tail)
     with open(os.path.join(REPO, "BENCH", "scaling_result.json"), "w") as f:
         json.dump(result, f, indent=1)
     return 0
