@@ -1,5 +1,6 @@
 """Two-cluster-size scaling evidence (north rule: efficiency >= 0.8 between
-N and 4N executors; sandbox proxy = local[8] vs local[32] on one machine).
+N and 4N executors; sandbox proxy = local[2] vs local[8] — this VM's CPUs
+throttle beyond ~16 concurrent threads, see BASELINE.md).
 
 Method:
 1. Materialize a deterministic synthetic binlog (generator) to parquet once,
