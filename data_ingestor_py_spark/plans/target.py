@@ -430,6 +430,60 @@ class TargetTable:
         agg = df.agg(F.sum(row_hash).alias("s"), F.count("*").alias("n")).collect()[0]
         return f"{agg['n']}:{agg['s']}"
 
+    def purge_tombstones(self, older_than_seq: int) -> int:
+        """Maintenance: rewrite buckets dropping delete tombstones with
+        ``_seq < older_than_seq`` (safe once the source guarantees no events
+        older than that offset can still arrive — the replay watermark).
+        Bounds state growth for delete-heavy streams at 10^10 scale.
+        Returns the number of tombstones removed."""
+        m = self._load()
+        key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
+        bucket_cols = m.get("bucket_cols", key_cols)
+        cols = self.current_columns(m)
+        state = self._state_df(m)
+        keep = state.where(~((F.col("_op") == "D") & (F.col(seq_col) < older_than_seq)))
+        n_purged = state.count() - keep.count()
+        if n_purged == 0:
+            return 0
+        out = keep.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
+        new_v = m["version"] + 1
+        rel = f"snap-{new_v:06d}"
+        out.repartition(max(len(m["buckets"]), 1), F.col("bkt")).write.partitionBy(
+            "bkt"
+        ).mode("overwrite").parquet(os.path.join(self.root, rel))
+        written = [
+            int(d.split("=")[1])
+            for d in os.listdir(os.path.join(self.root, rel))
+            if d.startswith("bkt=")
+        ]
+        m["buckets"] = {
+            str(b): {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]} for b in written
+        }
+        m["version"] = new_v
+        m["history"].append(
+            {"at": time.time(), "snapshot": new_v, "op": "purge_tombstones", "purged": n_purged}
+        )
+        self._commit_manifest(m)
+        return n_purged
+
+    def metrics_summary(self) -> dict:
+        """Reference-parity counters (config/config.py:7-28's Prometheus set
+        re-expressed over the checkpoint table): records read/applied,
+        batches, error count, timing stats."""
+        from data_ingestor_py_spark.plans.checkpoint import Checkpoint
+
+        rows = Checkpoint(self.spark, self.root).read().collect()
+        ok = [r for r in rows if r["status"] == "COMMITTED"]
+        return {
+            "records_read": sum(max(r["rows_in"], 0) for r in ok),
+            "records_processed": sum(max(r["rows_applied"], 0) for r in ok),
+            "batches_committed": len(ok),
+            "errors": len(rows) - len(ok),
+            "processing_time_seconds_sum": round(sum(r["duration_s"] for r in ok), 3),
+            "processing_time_seconds_max": round(max((r["duration_s"] for r in ok), default=0.0), 3),
+            "snapshot_version": self._load()["version"],
+        }
+
     def expire_snapshots(self, keep_last: int = 1) -> None:
         """Delete snapshot dirs no longer referenced by the manifest."""
         m = self._load()

@@ -39,6 +39,8 @@ def stream_replay(
     available_now: bool = True,
     salt_buckets: int = 0,
     stats: str = "full",
+    watermark_delay: str | None = None,
+    on_epoch_start=None,
 ):
     """Tail a directory of event files (parquet) and merge each micro-batch.
 
@@ -54,12 +56,23 @@ def stream_replay(
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_dir)
+    if watermark_delay:
+        # bound streaming dedup state: exact replays of (repo,path,_seq)
+        # within the watermark are dropped before the merge ever sees them
+        # (the merge stays idempotent for duplicates beyond the watermark)
+        stream = stream.withWatermark("_ts", watermark_delay).dropDuplicatesWithinWatermark(
+            ["repo", "path", "_seq"]
+        )
 
     cp = Checkpoint(spark, table.root)
     lin = Lineage(spark, table.root)
 
     def apply_batch(df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
+        if on_epoch_start is not None:
+            # schema-evolution hook per micro-batch (the streaming analogue
+            # of replay()'s on_batch_start)
+            on_epoch_start(epoch_id, table)
         batch = prepare(df, epoch_id) if prepare is not None else df
         st = table.merge_apply(batch, salt_buckets=salt_buckets, stats=stats)
         t1 = time.time()

@@ -159,3 +159,24 @@ def test_repo_bucketing_prunes_repo_local_batches(spark, tmp_path):
     ref.merge_apply(ev)
     ref.merge_apply(one_repo)
     assert t.snapshot_hash() == ref.snapshot_hash()
+
+
+def test_purge_tombstones_and_metrics(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    from data_ingestor_py_spark.plans.replay import replay, split_batches
+
+    ev = change_events(spark, 1500, n_repos=10, paths_per_repo=10, seed=4, delete_rate=0.4)
+    replay(t, split_batches(ev, 3), prepare=lambda df, i: _prep(df))
+    visible_before = t.snapshot_hash()
+    raw_before = t.read_raw().count()
+    n_tomb = t.read_raw().where("_op = 'D'").count()
+    assert n_tomb > 0
+    purged = t.purge_tombstones(older_than_seq=10**9)  # watermark beyond all
+    assert purged == n_tomb
+    assert t.read_raw().count() == raw_before - n_tomb
+    assert t.snapshot_hash() == visible_before  # visible state unchanged
+
+    m = t.metrics_summary()
+    assert m["batches_committed"] == 3 and m["errors"] == 0
+    assert m["records_read"] == 1500
+    assert m["processing_time_seconds_sum"] > 0

@@ -85,3 +85,48 @@ def test_stream_crash_recovery_via_engine_checkpoint(spark, tmp_path):
     q = stream_replay(spark, src, SCHEMA, t, prepare=_prep, checkpoint_dir=str(tmp_path / "cp2"))
     q.awaitTermination(120)
     assert t.snapshot_hash() == h
+
+def test_stream_with_watermark_dedup(spark, tmp_path):
+    """Watermark-bounded pre-merge dedup: duplicate-heavy stream converges
+    to the same state, with streaming dedup state bounded by the watermark."""
+    ev = change_events(spark, 1200, n_repos=12, paths_per_repo=8, seed=2, dup_rate=0.3)
+    src = str(tmp_path / "events")
+    ev.repartition(3).write.parquet(src)
+
+    ref = make_table(spark, tmp_path / "ref")
+    ref.merge_apply(_prep(ev))
+
+    # the delay must cover the stream's max event-time disorder across
+    # micro-batches (here: random file split over a ~1h ts range) — rows
+    # older than the watermark are treated as late and dropped
+    t = make_table(spark, tmp_path / "t")
+    q = stream_replay(
+        spark, src, SCHEMA, t, prepare=_prep,
+        checkpoint_dir=str(tmp_path / "cp"), max_files_per_trigger=1,
+        watermark_delay="2 hours",
+    )
+    q.awaitTermination(120)
+    assert t.snapshot_hash() == ref.snapshot_hash()
+
+
+def test_stream_schema_evolution_hook(spark, tmp_path):
+    """on_epoch_start evolves the table before the first micro-batch."""
+    ev = change_events(spark, 300, n_repos=5, paths_per_repo=5, seed=3)
+    src = str(tmp_path / "events")
+    ev.coalesce(1).write.parquet(src)
+
+    t = make_table(spark, tmp_path / "t")
+
+    def on_epoch(epoch_id, tbl):
+        if all(f["name"] != "epoch_tag" for f in tbl.schema_fields()):
+            tbl.evolve(add=[("epoch_tag", "long")])
+
+    def prep2(df, e):
+        return _prep(df).withColumn("epoch_tag", F.lit(7).cast("long"))
+
+    q = stream_replay(spark, src, SCHEMA, t, prepare=prep2,
+                      checkpoint_dir=str(tmp_path / "cp"), on_epoch_start=on_epoch)
+    q.awaitTermination(120)
+    out = t.read()
+    assert "epoch_tag" in out.columns
+    assert out.where("epoch_tag <> 7").count() == 0
