@@ -349,12 +349,9 @@ class TargetTable:
         unioned = state.unionByName(with_bkt)
 
         payload = [c for c in cols if c not in key_cols and c != seq_col]
-        # leading 8-byte hash makes the sorter's prefix comparator
-        # discriminate immediately (key strings share long common prefixes,
-        # which would force full string comparisons on every pair)
-        unioned = unioned.withColumn("_khash", F.xxhash64(*[F.col(c) for c in key_cols]))
+        # (measured: a leading xxhash64 sort-prefix column does not beat the
+        # plain string sort here and costs 8B/row of shuffle — keep it simple)
         w = Window.partitionBy("bkt").orderBy(
-            F.asc("_khash"),
             *[F.asc(c) for c in key_cols], F.desc(seq_col), *[F.desc(c) for c in payload]
         )
         key_changed = F.lit(False)
