@@ -58,6 +58,19 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--target", required=True)
     v.add_argument("--cores", type=int, default=None)
 
+    st = sub.add_parser("stream", help="tail an events directory via Structured Streaming")
+    _add_common(st)
+    st.add_argument("--events-dir", required=True)
+    st.add_argument("--events-schema", default=(
+        "event_id long, repo string, path string, commit string, _seq long, "
+        "_op string, _ts timestamp, lang string, content string, _schema_version int"
+    ))
+    st.add_argument("--stream-checkpoint", default=None)
+    st.add_argument("--max-files-per-trigger", type=int, default=None)
+    st.add_argument("--watermark-delay", default=None)
+    st.add_argument("--follow", action="store_true",
+                    help="keep running (processingTime trigger) instead of availableNow drain")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "verify-state":
@@ -95,7 +108,7 @@ def main(argv: list[str] | None = None) -> int:
             paths_per_repo=args.paths_per_repo, seed=args.seed, skew=args.skew,
         )
         n_events = args.n_events
-    else:
+    elif args.cmd == "replay":
         events = spark.read.parquet(args.events_table)
         n_events = events.count()
 
@@ -115,6 +128,24 @@ def main(argv: list[str] | None = None) -> int:
             "repo", "path", "commit", "lang", "content", "_content_sha256",
             "_seq", "_op", "_ts",
         )
+
+    if args.cmd == "stream":
+        from data_ingestor_py_spark.streaming.stream_replay import stream_replay
+
+        q = stream_replay(
+            spark, args.events_dir, args.events_schema, table, prepare=prep,
+            checkpoint_dir=args.stream_checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            available_now=not args.follow,
+            salt_buckets=args.salt_buckets,
+            stats="light" if args.light_stats else "full",
+            watermark_delay=args.watermark_delay,
+        )
+        q.awaitTermination()
+        print(json.dumps({"mode": "stream", "target": args.target,
+                          "metrics": table.metrics_summary()}))
+        spark.stop()
+        return 0
 
     t0 = time.time()
     if "_batch" in events.columns:
