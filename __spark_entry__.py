@@ -334,6 +334,32 @@ def q_topk_orders_by_value(spark, sf_dir):
     )
 
 
+def q_semi_anti_joins(spark, sf_dir):
+    """Semi/anti joins (absent from the reference): customers with orders
+    (semi) vs without (anti)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("c_custkey"))
+    with_orders = c.join(o, "c_custkey", "left_semi").withColumn("has_orders", F.lit(True))
+    without = c.join(o, "c_custkey", "left_anti").withColumn("has_orders", F.lit(False))
+    return with_orders.unionByName(without).select("c_custkey", "c_name", "has_orders")
+
+
+def q_running_revenue_window(spark, sf_dir):
+    """Running window aggregate: cumulative order value per customer over
+    order date (rows-frame), decimal-exact then double."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run = F.sum(F.col("o_totalprice").cast("decimal(18,6)")).over(w)
+    return o.select(
+        "o_custkey", "o_orderkey",
+        run.cast("decimal(28,4)").cast("double").alias("running_total"),
+    )
+
+
 def q_set_ops_active_users(spark, sf_dir):
     """Set operations (absent from the reference): users who purchased but
     never errored = EXCEPT; both = INTERSECT counts."""
@@ -400,6 +426,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "topk_orders_by_value": q_topk_orders_by_value,
+        "semi_anti_joins": q_semi_anti_joins,
+        "running_revenue_window": q_running_revenue_window,
         "set_ops_active_users": q_set_ops_active_users,
         "pipeline_training_prep": q_pipeline_training_prep,
         "multimodal_decode_features": q_multimodal_decode_features,
@@ -710,6 +738,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT rank, o_orderkey, o_custkey, o_totalprice FROM ("
             "SELECT *, row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank "
             "FROM orders) WHERE rank <= 20"
+        ),
+        "semi_anti_joins": (
+            "SELECT c_custkey, c_name, TRUE AS has_orders FROM customer "
+            "WHERE c_custkey IN (SELECT o_custkey FROM orders) "
+            "UNION ALL "
+            "SELECT c_custkey, c_name, FALSE AS has_orders FROM customer "
+            "WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)"
+        ),
+        "running_revenue_window": (
+            "SELECT o_custkey, o_orderkey, "
+            "CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) OVER ("
+            "PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS UNBOUNDED PRECEDING) AS DECIMAL(28,4)) AS DOUBLE) AS running_total "
+            "FROM orders"
         ),
         "set_ops_active_users": (
             "WITH b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'), "
