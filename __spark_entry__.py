@@ -386,17 +386,29 @@ def q_pipeline_training_prep(spark, sf_dir):
 
 
 def q_multimodal_decode_features(spark, sf_dir):
-    # binary media -> Arrow-batched decode + feature extraction (stub codec,
-    # real mapInPandas plumbing); rows-only check (not SQL-expressible)
+    """Binary media -> Arrow-batched decode + feature extraction (stub codec,
+    real mapInPandas plumbing). Gate projection is all-scalar (the driver's
+    pandas canonicalizer cannot factorize list columns): the 16 embedding
+    dims become e0..e15, cast float->double so the float32 storage rounding
+    is applied identically on both engines."""
     from data_ingestor_py_spark.functions.multimodal import decode_features, synth_media
 
-    return decode_features(synth_media(spark, 200, "image"), dims=16)
+    feats = decode_features(synth_media(spark, 200, "image"), dims=16)
+    return feats.select(
+        "doc_id", "width", "height", "mean_value",
+        *[F.element_at("embedding", i + 1).cast("double").alias(f"e{i}") for i in range(16)],
+    )
 
 
 def q_multimodal_frame_sample(spark, sf_dir):
+    """Video frame sampling; the gate compares FULL frame bytes as lowercase
+    hex (DuckDB's sha256 is VARCHAR-only, and hex is strictly stronger)."""
     from data_ingestor_py_spark.functions.multimodal import sample_frames, synth_media
 
-    return sample_frames(synth_media(spark, 100, "video"), every_k=2)
+    frames = sample_frames(synth_media(spark, 100, "video"), every_k=2)
+    return frames.select(
+        "doc_id", "frame_idx", F.lower(F.hex("frame")).alias("frame_hex")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -628,6 +640,75 @@ def _ivf_sql(n_lists: int = 8, n_probe: int = 3, k: int = 5, seed: int = 42) -> 
           FROM s) WHERE rank <= {k}"""
 
 
+def _multimodal_decode_sql(n_rows: int = 200, dims: int = 16, seed: int = 42) -> str:
+    """DuckDB twin of decode_features over the synthetic SYNM image table.
+
+    The SYNM payload is sha256-derived (functions/multimodal.py:44-53):
+    digest = sha256('seed:doc_id'); w = 8 + b0%8; h = 8 + b1%8; n = 3 for
+    images; payload = digest repeated to w*h*n bytes. So byte p of the
+    digest appears ceil((need - p) / 32) times, and the folded histogram /
+    mean are exact integer expressions. Embedding dims replicate the
+    float32 storage rounding via ::FLOAT::DOUBLE."""
+    e_cols = ", ".join(
+        f"CAST(CAST(list_sum(list_transform(range(0,32), "
+        f"p -> CASE WHEN bytes[p+1] % {dims} = {d} THEN cnts[p+1] ELSE 0 END))::DOUBLE "
+        f"/ need AS FLOAT) AS DOUBLE) AS e{d}"
+        for d in range(dims)
+    )
+    return f"""
+        WITH g AS (
+          SELECT CAST(r.range AS BIGINT) AS doc_id,
+                 sha256('{seed}:' || CAST(r.range AS VARCHAR)) AS hx
+          FROM range({n_rows}) r),
+        b AS (
+          SELECT doc_id,
+                 list_transform(range(0,32), p -> ('0x' || substr(hx, 2*p+1, 2))::BIGINT) AS bytes
+          FROM g),
+        d AS (
+          SELECT doc_id, bytes,
+                 CAST(8 + (bytes[1] % 8) AS INT) AS width,
+                 CAST(8 + (bytes[2] % 8) AS INT) AS height,
+                 (8 + (bytes[1] % 8)) * (8 + (bytes[2] % 8)) * 3 AS need
+          FROM b),
+        e AS (
+          SELECT doc_id, width, height, need, bytes,
+                 list_transform(range(0,32), p -> (need - p + 31) // 32) AS cnts
+          FROM d)
+        SELECT doc_id, width, height,
+               list_sum(list_transform(range(0,32), p -> bytes[p+1] * cnts[p+1]))::DOUBLE
+                 / need AS mean_value,
+               {e_cols}
+        FROM e"""
+
+
+def _frame_sample_sql(n_rows: int = 100, every_k: int = 2, seed: int = 42) -> str:
+    """DuckDB twin of sample_frames over SYNM video: every frame's BYTES are
+    compared as lowercase hex (video: w=8+b0%8, h=8+b1%8, n=2+b2%4 frames,
+    payload = digest repeated; frame i = payload[i*w*h:(i+1)*w*h])."""
+    return f"""
+        WITH g AS (
+          SELECT CAST(r.range AS BIGINT) AS doc_id,
+                 sha256('{seed}:' || CAST(r.range AS VARCHAR)) AS hx
+          FROM range({n_rows}) r),
+        d AS (
+          SELECT doc_id, hx,
+                 8 + ('0x' || substr(hx, 1, 2))::BIGINT % 8 AS w,
+                 8 + ('0x' || substr(hx, 3, 2))::BIGINT % 8 AS h,
+                 2 + ('0x' || substr(hx, 5, 2))::BIGINT % 4 AS n
+          FROM g),
+        p AS (
+          SELECT doc_id, w, h, n,
+                 substr(repeat(hx, (w*h*n) // 32 + 1), 1, 2*w*h*n) AS ph
+          FROM d),
+        f AS (
+          SELECT doc_id, w, h, ph,
+                 unnest(list_filter(range(0, n), i -> i % {every_k} = 0)) AS fi
+          FROM p)
+        SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+               substr(ph, 2*fi*w*h + 1, 2*w*h) AS frame_hex
+        FROM f"""
+
+
 def oracle_sql() -> dict[str, str]:
     cdc_base = (
         "SELECT user_id, CAST(regexp_extract(props, '\"k\":\\s*([0-9]+)', 1) AS BIGINT) AS k, "
@@ -773,7 +854,10 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _lsh_neardup_sql(),
         "ann_lsh_bucketed": _lsh_ann_sql(),
         "ann_ivf_topk": _ivf_sql(),
-        # multimodal_*: binary decode — rows-only by nature.
+        # multimodal: SYNM bytes are sha256-derived, so headers, folded
+        # histograms and full frame bytes are expressible in DuckDB SQL
+        "multimodal_decode_features": _multimodal_decode_sql(),
+        "multimodal_frame_sample": _frame_sample_sql(),
     }
 
 

@@ -233,35 +233,69 @@ def ivf_topk(
     # deterministic "training": centroids = corpus rows whose id hashes
     # lowest (sha-prefix hash — engine-portable, so the DuckDB oracle picks
     # identical centroids)
+    import math
+
+    from data_ingestor_py_spark.functions.expr import let_
+
     h = F.conv(
         F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), F.col("cid").cast("string")), 256), 1, 8),
         16, 10,
     ).cast("long")
-    cent = (
+    cents = (
         corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
         .withColumn("_h", h)
         .orderBy("_h", "cid")
         .limit(n_lists)
         .drop("_h")
+        .collect()  # n_lists rows — model-scale, the "broadcast the model" pattern
     )
-    cent_b = F.broadcast(cent)
 
-    def best_cells(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
-        scored = df.join(cent_b).select(
-            idc, vc, "cid", cosine(F.col(vc), F.col("cv")).alias("_cs")
-        )
-        w = Window.partitionBy(idc).orderBy(F.desc("_cs"), F.asc("cid"))
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .where(F.col("_r") <= n)
-            .select(idc, vc, F.col("cid").alias(out))
-        )
+    def _py_norm(vec: list[float]) -> float:
+        # replicate the Catalyst fold bit-for-bit: sequential double
+        # accumulation in element order, then sqrt
+        acc = 0.0
+        for x in vec:
+            acc = acc + float(x) * float(x)
+        return math.sqrt(acc)
 
-    corpus_cells = best_cells(
+    def cell_struct_expr(vc: str, n: int):
+        """top-n (cell, by cosine desc, cid asc) as a PURE per-row expression:
+        fold the centroid list per row — zero shuffle, the corpus-assignment
+        stage the r1 window version shuffled corpus x n_lists rows for."""
+        v = F.col(vc)
+
+        def with_norm(norm_v):
+            entries = []
+            for r in cents:
+                cv = [float(x) for x in r["cv"]]
+                litv = F.array(*[F.lit(x) for x in cv])
+                dot = F.aggregate(
+                    F.zip_with(v, litv, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0), lambda acc, x: acc + x,
+                )
+                cos = dot / (norm_v * F.lit(_py_norm(cv)))
+                entries.append(
+                    F.struct(cos.alias("cos"), F.lit(-int(r["cid"])).cast("long").alias("negcid"))
+                )
+            # struct sort asc = (cos asc, negcid asc); reversed = cos desc,
+            # ties on the LOWEST cid first (negcid desc == cid asc)
+            return F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n)
+
+        norm_v = F.sqrt(
+            F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+        )
+        return let_(norm_v, with_norm)
+
+    def assign_cells(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
+        return df.select(
+            idc, vc, F.explode(cell_struct_expr(vc, n)).alias("_s")
+        ).select(idc, vc, (-F.col("_s")["negcid"]).cast("long").alias(out))
+
+    corpus_cells = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2")),
         "neighbor_id", "cv2", 1, "cell",
     )
-    query_cells = best_cells(
+    query_cells = assign_cells(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")),
         "query_id", "qv", n_probe, "cell",
     )

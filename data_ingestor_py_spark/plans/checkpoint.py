@@ -81,16 +81,30 @@ def _append_arrow(dir_: str, table: pa.Table) -> None:
 def _compact_dir(dir_: str, schema: pa.Schema) -> int:
     """Rewrite many per-batch metadata files into one (long replays append
     one tiny file per batch; compaction keeps the listing cheap). Returns
-    the number of files compacted."""
+    the number of files compacted.
+
+    Crash safety: the compacted table is written to a ``.tmp`` name OUTSIDE
+    the dataset glob, fsync'd, atomically renamed into place, and only then
+    are the originals removed. A crash mid-sequence leaves either (a) an
+    orphan .tmp (ignored by readers, removed next compaction) or (b) the
+    compacted file plus some originals — duplicate rows that readers dedupe
+    by batch_id (rows are byte-identical). No window loses data."""
     if not os.path.isdir(dir_):
         return 0
+    for f in os.listdir(dir_):  # clear orphans from a previous crash
+        if f.endswith(".tmp"):
+            os.remove(os.path.join(dir_, f))
     files = sorted(f for f in os.listdir(dir_) if f.endswith(".parquet"))
     if len(files) <= 1:
         return 0
     t = pads.dataset(dir_, format="parquet").to_table()
     t = t.cast(schema)
-    tmp = os.path.join(dir_, f"compact-{uuid.uuid4().hex}.parquet")
+    name = f"compact-{uuid.uuid4().hex}"
+    tmp = os.path.join(dir_, name + ".tmp")
     pq.write_table(t, tmp)
+    with open(tmp, "rb") as fh:
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(dir_, name + ".parquet"))
     for f in files:
         os.remove(os.path.join(dir_, f))
     return len(files)
@@ -117,7 +131,9 @@ class Checkpoint:
         _append_arrow(self.dir, pa.Table.from_pylist([d], schema=_CP_ARROW))
 
     def read(self) -> DataFrame:
-        return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.dir)
+        # dropDuplicates: rows duplicated by a crash mid-compaction are
+        # byte-identical, so exact-row dedup restores the logical table
+        return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.dir).dropDuplicates()
 
     def compact(self) -> int:
         return _compact_dir(self.dir, _CP_ARROW)
@@ -152,7 +168,7 @@ class Lineage:
             _append_arrow(self.dir, pa.Table.from_pylist(rows, schema=_LIN_ARROW))
 
     def read(self) -> DataFrame:
-        return self.spark.read.schema(LINEAGE_DDL).parquet(self.dir)
+        return self.spark.read.schema(LINEAGE_DDL).parquet(self.dir).dropDuplicates()
 
     def compact(self) -> int:
         return _compact_dir(self.dir, _LIN_ARROW)

@@ -50,6 +50,13 @@ MANIFEST = "_manifest.json"
 TOMBSTONE_COLS = ("_op",)
 
 
+class CommitConflict(Exception):
+    """Another writer committed the snapshot version this writer was about
+    to claim. The caller must reload the manifest and redo its work against
+    the new state (optimistic concurrency, Iceberg's commit protocol in
+    miniature)."""
+
+
 def _bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
@@ -306,10 +313,13 @@ class TargetTable:
         )
         bkts = keys_only.groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
         if stats == "full":
+            # distinct over a STRUCT of the keys, not the bare columns:
+            # count_distinct(a, b) drops tuples containing NULL, so NULL-key
+            # groups would vanish from the lineage counts
             per_bucket = {
                 r["bkt"]: r["n"]
                 for r in bkts.agg(
-                    F.count_distinct(*[F.col(c) for c in key_cols]).alias("n")
+                    F.count_distinct(F.struct(*[F.col(c) for c in key_cols])).alias("n")
                 ).collect()
             }
         else:
@@ -354,10 +364,15 @@ class TargetTable:
         w = Window.partitionBy("bkt").orderBy(
             *[F.asc(c) for c in key_cols], F.desc(seq_col), *[F.desc(c) for c in payload]
         )
-        key_changed = F.lit(False)
+        # NULL-safe group-start detection: a row starts a new key group iff
+        # it is the partition's first row (lag over a constant is NULL only
+        # there) or any key column differs null-safely from its predecessor.
+        # A plain `prev != col` would mark EVERY row whose predecessor key is
+        # NULL as a group start, so NULL-keyed events would never dedup and
+        # tombstones could not reject late NULL-key upserts.
+        key_changed = F.lag(F.lit(1)).over(w).isNull()
         for c in key_cols:
-            prev = F.lag(c).over(w)
-            key_changed = key_changed | prev.isNull() | (prev != F.col(c))
+            key_changed = key_changed | ~F.lag(c).over(w).eqNullSafe(F.col(c))
         merged = (
             unioned.withColumn("_is_first", key_changed)
             .where(F.col("_is_first"))
@@ -422,7 +437,13 @@ class TargetTable:
         sha256 over the canonical row repr, folded with an order-independent
         sum. Used for byte-for-byte replay equality (M7)."""
         df = self.read()
-        row_repr = F.concat_ws("\x1f", *[F.col(c).cast("string") for c in sorted(df.columns)])
+        # NULL-safe encode: concat_ws silently DROPS null inputs, so rows
+        # whose NULL sits in different columns (or NULL vs '') would collide.
+        # Coalesce each column to an out-of-band sentinel first.
+        row_repr = F.concat_ws(
+            "\x1f",
+            *[F.coalesce(F.col(c).cast("string"), F.lit("\x00NULL")) for c in sorted(df.columns)],
+        )
         row_hash = F.conv(F.substring(F.sha2(row_repr, 256), 1, 15), 16, 10).cast("decimal(38,0)")
         agg = df.agg(F.sum(row_hash).alias("s"), F.count("*").alias("n")).collect()[0]
         return f"{agg['n']}:{agg['s']}"
@@ -432,33 +453,55 @@ class TargetTable:
         ``_seq < older_than_seq`` (safe once the source guarantees no events
         older than that offset can still arrive — the replay watermark).
         Bounds state growth for delete-heavy streams at 10^10 scale.
-        Returns the number of tombstones removed."""
+        Returns the number of tombstones removed.
+
+        Two pruned passes, mirroring :meth:`merge_apply`'s shape: (1) a
+        column-pruned scan of (_op, seq, bucket cols) finds WHICH buckets
+        hold eligible tombstones and counts them; (2) only those buckets are
+        read in full and rewritten — untouched buckets keep their existing
+        snapshot files by reference (at 100 TB a purge touches the
+        delete-bearing slice of the table, never all of it)."""
         m = self._load()
         key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
         bucket_cols = m.get("bucket_cols", key_cols)
         cols = self.current_columns(m)
-        state = self._state_df(m)
-        keep = state.where(~((F.col("_op") == "D") & (F.col(seq_col) < older_than_seq)))
-        n_purged = state.count() - keep.count()
+        eligible = (F.col("_op") == "D") & (F.col(seq_col) < older_than_seq)
+        # pass 1: bucket discovery on pruned columns only
+        per_bucket = {
+            r["bkt"]: r["n"]
+            for r in (
+                self._state_df(m)
+                .select(*bucket_cols, seq_col, "_op")
+                .where(eligible)
+                .groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        }
+        n_purged = sum(per_bucket.values())
         if n_purged == 0:
             return 0
+        touched = sorted(per_bucket)
+        # pass 2: rewrite only tombstone-bearing buckets
+        keep = self._state_df(m, touched).where(~eligible)
         out = keep.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
         rel = f"snap-{new_v:06d}"
-        out.repartition(max(len(m["buckets"]), 1), F.col("bkt")).write.partitionBy(
-            "bkt"
-        ).mode("overwrite").parquet(os.path.join(self.root, rel))
-        written = [
-            int(d.split("=")[1])
-            for d in os.listdir(os.path.join(self.root, rel))
-            if d.startswith("bkt=")
-        ]
-        m["buckets"] = {
-            str(b): {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]} for b in written
+        out_dir = os.path.join(self.root, rel)
+        out.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
+        written = {
+            int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("bkt=")
         }
+        for b in touched:
+            if b in written:
+                m["buckets"][str(b)] = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
+            else:
+                # bucket emptied entirely by the purge
+                m["buckets"].pop(str(b), None)
         m["version"] = new_v
         m["history"].append(
-            {"at": time.time(), "snapshot": new_v, "op": "purge_tombstones", "purged": n_purged}
+            {"at": time.time(), "snapshot": new_v, "op": "purge_tombstones",
+             "purged": n_purged, "buckets": touched}
         )
         self._commit_manifest(m)
         return n_purged
@@ -470,6 +513,10 @@ class TargetTable:
         from data_ingestor_py_spark.plans.checkpoint import Checkpoint
 
         rows = Checkpoint(self.spark, self.root).read().collect()
+        # dedupe by (batch_id, status): a crash inside checkpoint compaction
+        # can leave both the compacted file and the originals on disk —
+        # duplicate rows are byte-identical, so keep one per batch
+        rows = list({(r["batch_id"], r["status"]): r for r in rows}.values())
         ok = [r for r in rows if r["status"] == "COMMITTED"]
         return {
             "records_read": sum(max(r["rows_in"], 0) for r in ok),

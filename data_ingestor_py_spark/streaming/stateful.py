@@ -51,10 +51,16 @@ def _sessionize(
     start, last, n = state.get if state.exists else (ts[0], ts[0], 0)
     closed = []
     for t in ts:
-        if t - last > gap_s:
+        # late events (t <= last) merge into the open session without moving
+        # its boundaries backwards: a gap only exists when t is AHEAD of the
+        # stored session end, and session_end must never regress (an
+        # out-of-order arrival would otherwise shrink the window and falsely
+        # split the session on the next in-order event).
+        if t > last and t - last > gap_s:
             closed.append((start, last, n))
             start, n = t, 0
-        last = t
+        start = min(start, t)
+        last = max(last, t)
         n += 1
     state.update((start, last, n))
     state.setTimeoutDuration(gap_s * 1000)

@@ -40,6 +40,8 @@ def stream_replay(
     salt_buckets: int = 0,
     stats: str = "full",
     watermark_delay: str | None = None,
+    event_time_col: str = "_ts",
+    dedup_id_cols: tuple[str, ...] = ("repo", "path", "_seq"),
     on_epoch_start=None,
 ):
     """Tail a directory of event files (parquet) and merge each micro-batch.
@@ -57,11 +59,20 @@ def stream_replay(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(events_dir)
     if watermark_delay:
-        # bound streaming dedup state: exact replays of (repo,path,_seq)
+        # bound streaming dedup state: exact replays of the dedup-id tuple
         # within the watermark are dropped before the merge ever sees them
-        # (the merge stays idempotent for duplicates beyond the watermark)
-        stream = stream.withWatermark("_ts", watermark_delay).dropDuplicatesWithinWatermark(
-            ["repo", "path", "_seq"]
+        # (the merge stays idempotent for duplicates beyond the watermark).
+        # Columns are caller-configurable so non-CDC streams can use the
+        # same path; validate up front for a clear error instead of a deep
+        # AnalysisException out of the watermark node.
+        missing = [c for c in (event_time_col, *dedup_id_cols) if c not in stream.columns]
+        if missing:
+            raise ValueError(
+                f"watermark_delay requires columns {missing} in the stream schema "
+                f"({stream.columns}); pass event_time_col/dedup_id_cols to match"
+            )
+        stream = stream.withWatermark(event_time_col, watermark_delay).dropDuplicatesWithinWatermark(
+            list(dedup_id_cols)
         )
 
     cp = Checkpoint(spark, table.root)

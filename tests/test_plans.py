@@ -104,3 +104,18 @@ def test_expire_snapshots_keeps_current_readable(spark, tmp_path):
     h = t.snapshot_hash()
     t.expire_snapshots(keep_last=0)
     assert t.snapshot_hash() == h  # current snapshot fully readable after GC
+
+def test_ivf_corpus_assignment_has_no_exchange(spark):
+    """IVF cell assignment must be a pure per-row expression over the
+    broadcast centroid list — the r1 window version shuffled corpus x
+    n_lists rows. Only the final per-query top-k window may shuffle, and
+    the query->corpus join must be a broadcast."""
+    from data_ingestor_py_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    df = ivf_topk(emb.where("vec_id < 8"), emb, k=5, n_lists=8, n_probe=3)
+    plan = _plan(df)
+    # exactly ONE shuffle in the whole query: the final top-k window
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
