@@ -90,20 +90,69 @@ class TargetTable:
     def exists(self) -> bool:
         return os.path.exists(self._manifest_path)
 
+    def _version_path(self, version: int) -> str:
+        return os.path.join(self.root, "_versions", f"manifest-v{version:06d}.json")
+
     def _load(self) -> dict:
         with open(self._manifest_path) as f:
-            return json.load(f)
+            m = json.load(f)
+        # Roll forward a crashed commit: the CAS token (per-version manifest
+        # file) is written BEFORE the main-pointer swap, so if a committer
+        # died in between, the token holds the complete committed manifest —
+        # promote it (data files were fully written before the token).
+        while True:
+            nxt = self._version_path(m["version"] + 1)
+            if not os.path.exists(nxt):
+                return m
+            try:
+                with open(nxt) as f:
+                    m2 = json.load(f)
+            except (json.JSONDecodeError, OSError):
+                return m  # token still being written by a live committer
+            tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                json.dump(m2, f, indent=1)
+            os.replace(tmp, self._manifest_path)
+            m = m2
 
     def _commit_manifest(self, m: dict) -> None:
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(m, f, indent=1)
-        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
-        # retained manifest per version -> time travel (Iceberg metadata files)
+        """Optimistic-concurrency commit (Iceberg's protocol in miniature):
+
+        1. CLAIM the snapshot version by O_EXCL-creating the per-version
+           manifest file — exactly one writer can create
+           ``manifest-v{N}.json``; a loser gets :class:`CommitConflict` and
+           must redo its work against the reloaded state.
+        2. Swap the main pointer with ``os.replace`` (atomic on POSIX).
+
+        A crash between 1 and 2 is repaired by :meth:`_load`'s roll-forward.
+        The version files double as time-travel metadata."""
         vdir = os.path.join(self.root, "_versions")
         os.makedirs(vdir, exist_ok=True)
-        with open(os.path.join(vdir, f"manifest-v{m['version']:06d}.json"), "w") as f:
-            json.dump(m, f)
+        vpath = self._version_path(m["version"])
+        payload = json.dumps(m, indent=1)
+        try:
+            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            # stale empty token from a writer that died mid-claim (>10s old,
+            # no content): clear it so the retry can claim the version
+            try:
+                st = os.stat(vpath)
+                if st.st_size == 0 and time.time() - st.st_mtime > 10:
+                    os.remove(vpath)
+            except OSError:
+                pass
+            raise CommitConflict(
+                f"snapshot v{m['version']} was committed by another writer; "
+                "reload the manifest and retry"
+            ) from None
+        with os.fdopen(fd, "w") as f:
+            f.write(payload)
+            f.flush()
+            os.fsync(f.fileno())
+        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(payload)
+        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
 
     @classmethod
     def create(
@@ -267,6 +316,26 @@ class TargetTable:
         salt_buckets: int = 0,
         dedup_ids: list[str] | None = None,
         stats: str = "full",
+        max_commit_retries: int = 5,
+    ) -> MergeStats:
+        """Apply one micro-batch of change events. On a concurrent-writer
+        commit conflict the whole merge is recomputed against the winner's
+        snapshot and retried (losers' work is discarded, like Iceberg's
+        optimistic retry) up to ``max_commit_retries`` times."""
+        for attempt in range(max_commit_retries + 1):
+            try:
+                return self._merge_apply_once(batch, salt_buckets, dedup_ids, stats)
+            except CommitConflict:
+                if attempt == max_commit_retries:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _merge_apply_once(
+        self,
+        batch: DataFrame,
+        salt_buckets: int = 0,
+        dedup_ids: list[str] | None = None,
+        stats: str = "full",
     ) -> MergeStats:
         """Apply one micro-batch of change events.
 
@@ -380,7 +449,7 @@ class TargetTable:
         )
 
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}"
+        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
         out_dir = os.path.join(self.root, rel)
         merged.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
 
@@ -414,7 +483,7 @@ class TargetTable:
         cols = self.current_columns(m)
         out = df.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}"
+        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
         out.repartition(B, F.col("bkt")).write.partitionBy("bkt").mode(
             "overwrite"
         ).parquet(os.path.join(self.root, rel))
@@ -429,6 +498,48 @@ class TargetTable:
         m["history"].append({"at": time.time(), "snapshot": new_v, "op": "bulk_load"})
         self._commit_manifest(m)
         return MergeStats(-1, -1, len(written), new_v, [])
+
+    def rewrite_partition_spec(
+        self, new_num_buckets: int, new_bucket_cols: list[str] | None = None
+    ) -> int:
+        """Maintenance: rewrite the table under a new bucket layout
+        (Iceberg's replace-partition-spec + rewrite_data_files). This is the
+        growth path for the BENCH/BASELINE.md sizing rule — merge window
+        parallelism is capped at num_buckets, so a table created small
+        (B=64) must be able to grow to B≈2^18-2^20 before it reaches
+        100 TB. One full-table shuffle+rewrite, committed atomically like
+        any other snapshot; visible state (and snapshot_hash) is unchanged.
+        Returns the new snapshot version."""
+        m = self._load()
+        key_cols = m["key_cols"]
+        cols = self.current_columns(m)
+        bucket_cols = new_bucket_cols or m.get("bucket_cols", key_cols)
+        out = (
+            self._state_df(m)  # raw: tombstones travel to the new layout too
+            .select(*cols)
+            .withColumn("bkt", _bucket_expr(bucket_cols, new_num_buckets))
+        )
+        new_v = m["version"] + 1
+        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
+        out_dir = os.path.join(self.root, rel)
+        out.repartition(new_num_buckets, F.col("bkt")).write.partitionBy("bkt").mode(
+            "overwrite"
+        ).parquet(out_dir)
+        written = [
+            int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("bkt=")
+        ]
+        m["buckets"] = {
+            str(b): {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]} for b in written
+        }
+        m["num_buckets"] = new_num_buckets
+        m["bucket_cols"] = bucket_cols
+        m["version"] = new_v
+        m["history"].append(
+            {"at": time.time(), "snapshot": new_v, "op": "rewrite_partition_spec",
+             "num_buckets": new_num_buckets, "bucket_cols": bucket_cols}
+        )
+        self._commit_manifest(m)
+        return new_v
 
     # ---------------- verification / maintenance ----------------
 
@@ -486,7 +597,7 @@ class TargetTable:
         keep = self._state_df(m, touched).where(~eligible)
         out = keep.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}"
+        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
         out_dir = os.path.join(self.root, rel)
         out.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
         written = {
