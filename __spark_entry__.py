@@ -385,6 +385,33 @@ def q_pipeline_training_prep(spark, sf_dir):
     return keep.join(canon, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
 
 
+def q_excel_roundtrip_scan(spark, sf_dir):
+    """S3/S4 end-to-end: render the nation dim as a positional-layout xlsx
+    (title row, flag row, header row, A4 table name, data rows — the
+    reference's excel_producer.py:13-18 layout), decode it with the
+    pure-stdlib reader, and hand off to a distributed DataFrame. Oracle is
+    the nation table itself."""
+    from data_ingestor_py_spark.sources.excel import excel_to_dataframe, write_xlsx
+
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()  # 25-row dim
+    rows = [
+        ["Nation reference", None, None],
+        ["REQUIRED", "REQUIRED", "REQUIRED"],
+        ["n_nationkey", "n_name", "n_regionkey"],
+        ["nation_tbl", None, None],
+    ] + [[r["n_nationkey"], r["n_name"], r["n_regionkey"]] for r in nat]
+    d = tempfile.mkdtemp(prefix="ingestor-xlsx-")
+    path = os.path.join(d, "nation.xlsx")
+    write_xlsx(path, rows)
+    df, table_name = excel_to_dataframe(spark, path, with_table_name=True)
+    assert table_name == "nation_tbl"
+    return df.select(
+        F.col("n_nationkey").cast("long"),
+        "n_name",
+        F.col("n_regionkey").cast("long"),
+    )
+
+
 def q_multimodal_decode_features(spark, sf_dir):
     """Binary media -> Arrow-batched decode + feature extraction (stub codec,
     real mapInPandas plumbing). Gate projection is all-scalar (the driver's
@@ -442,6 +469,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "running_revenue_window": q_running_revenue_window,
         "set_ops_active_users": q_set_ops_active_users,
         "pipeline_training_prep": q_pipeline_training_prep,
+        "excel_roundtrip_scan": q_excel_roundtrip_scan,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
@@ -854,6 +882,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _lsh_neardup_sql(),
         "ann_lsh_bucketed": _lsh_ann_sql(),
         "ann_ivf_topk": _ivf_sql(),
+        "excel_roundtrip_scan": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ),
         # multimodal: SYNM bytes are sha256-derived, so headers, folded
         # histograms and full frame bytes are expressible in DuckDB SQL
         "multimodal_decode_features": _multimodal_decode_sql(),
