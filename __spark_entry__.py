@@ -298,6 +298,20 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb.where("vec_id < 8"), emb, k=5, n_lists=8, n_probe=3)
 
 
+def q_embedding_cosine_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup over a duplicate-injected corpus: copies of
+    the first 20 vectors under shifted ids must be found as pairs by the
+    LSH-bucketed join (exact copies always share a bucket -> recall 1.0 for
+    true duplicates); cosine verified exactly."""
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where("vec_id < 20").select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    return S.embedding_near_duplicates(
+        emb.unionByName(copies), threshold=0.99, planes=4, dims=64
+    )
+
+
 def q_join_revenue_by_nation(spark, sf_dir):
     """Multi-table join + agg (TPC-H Q5 flavour): customer x orders x
     lineitem x nation, revenue per nation in exact decimal stepped to
@@ -385,6 +399,84 @@ def q_pipeline_training_prep(spark, sf_dir):
     return keep.join(canon, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
 
 
+def q_sessionize_stream_closed(spark, sf_dir):
+    """Custom stateful streaming operator through a REAL streaming query:
+    events replayed via a file-source stream into applyInPandasWithState
+    sessionization (two micro-batches: all real events, then one far-future
+    sentinel per user that closes every open session). Closed sessions must
+    equal the batch/SQL sessionization of the same data — the oracle is the
+    full per-session list. Session bounds compare as whole epoch seconds
+    (the state kernel keeps integer seconds; DuckDB's date_diff('second')
+    gap test is the same truncation arithmetic)."""
+    import glob
+    import shutil
+    import uuid as _uuid
+
+    from data_ingestor_py_spark.streaming.stateful import sessionize_stream
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar, metadata-scale
+    d = tempfile.mkdtemp(prefix="ingestor-sess-")
+    in_dir = os.path.join(d, "in")
+    ev.coalesce(1).write.parquet(in_dir)
+    sent_dir = os.path.join(d, "sent")
+    ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts")
+    ).coalesce(1).write.parquet(sent_dir)
+    # the sentinel file must land in a LATER micro-batch: file source orders
+    # by modification time, so bump the sentinel's mtime past the data file
+    base = max(os.path.getmtime(f) for f in glob.glob(os.path.join(in_dir, "part-*.parquet")))
+    for i, f in enumerate(glob.glob(os.path.join(sent_dir, "part-*.parquet"))):
+        dst = os.path.join(in_dir, f"zz-sentinel-{i}.parquet")
+        shutil.copy(f, dst)
+        os.utime(dst, (base + 60, base + 60))
+    qn = "sess_" + _uuid.uuid4().hex[:8]
+    n_expected = ev.count() + ev.select("user_id").distinct().count()
+    # state-store init cost is per (partition x batch): keep partitions tiny
+    old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try:
+        q = (
+            sessionize_stream(
+                spark.readStream.schema("user_id long, ts timestamp")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(in_dir),
+                gap_s=1800,
+            )
+            .writeStream.format("memory")
+            .queryName(qn)
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "cp"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        # availableNow + ProcessingTimeTimeout keeps the query alive waiting
+        # for state timeouts — poll until both files are consumed, then stop
+        import time as _time
+
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if q.awaitTermination(5):
+                break
+            done = sum(p["numInputRows"] for p in q.recentProgress)
+            if done >= n_expected:
+                break
+        q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+    return (
+        spark.table(qn)
+        .where(F.col("session_start") <= F.lit(max_ts))  # drop sentinel-born rows
+        .select(
+            "user_id",
+            F.col("session_start").cast("long").alias("session_start_s"),
+            F.col("session_end").cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
 def q_excel_roundtrip_scan(spark, sf_dir):
     """S3/S4 end-to-end: render the nation dim as a positional-layout xlsx
     (title row, flag row, header row, A4 table name, data rows — the
@@ -451,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "groupby_argmax_mode": q_groupby_argmax_mode,
         "sessionize_events": q_sessionize_events,
+        "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
@@ -463,6 +556,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_cosine": q_ann_topk_cosine,
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_cosine_neardup": q_embedding_cosine_neardup,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "topk_orders_by_value": q_topk_orders_by_value,
         "semi_anti_joins": q_semi_anti_joins,
@@ -668,6 +762,39 @@ def _ivf_sql(n_lists: int = 8, n_probe: int = 3, k: int = 5, seed: int = 42) -> 
           FROM s) WHERE rank <= {k}"""
 
 
+def _emb_neardup_sql(threshold: float = 0.99, planes: int = 4, dims: int = 64) -> str:
+    import hashlib as _hl
+
+    def signs(p: int) -> str:
+        vals = [
+            "1.0" if int(_hl.sha256(f"{p}:{i}".encode()).hexdigest()[:8], 16) % 2 else "-1.0"
+            for i in range(dims)
+        ]
+        return "[" + ", ".join(vals) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_aggregate(list_transform(range(1, {dims + 1}), "
+        f"i -> embedding[i]::DOUBLE * ({signs(p)})[i]), 'sum') > 0 THEN {1 << p} ELSE 0 END)"
+        for p in range(planes)
+    )
+    dot = (
+        "list_aggregate(list_transform(range(1, len(va)+1), "
+        "i -> va[i]::DOUBLE * vb[i]::DOUBLE), 'sum')"
+    )
+    norm = "sqrt(list_aggregate(list_transform({v}, x -> x::DOUBLE * x::DOUBLE), 'sum'))"
+    return f"""
+        WITH u AS (SELECT vec_id, embedding FROM embeddings
+                   UNION ALL
+                   SELECT vec_id + 100000, embedding FROM embeddings WHERE vec_id < 20),
+        cells AS (SELECT vec_id, embedding, ({bucket}) AS b FROM u),
+        s AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     {dot} / ({norm.format(v='va')} * {norm.format(v='vb')}) AS cos
+              FROM (SELECT vec_id, embedding AS va, b FROM cells) a
+              JOIN (SELECT vec_id, embedding AS vb, b FROM cells) b USING (b)
+              WHERE a.vec_id < b.vec_id)
+        SELECT id_a, id_b, cos FROM s WHERE cos >= {threshold}"""
+
+
 def _multimodal_decode_sql(n_rows: int = 200, dims: int = 16, seed: int = 42) -> str:
     """DuckDB twin of decode_features over the synthetic SYNM image table.
 
@@ -803,6 +930,17 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn "
             "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
         ),
+        "sessionize_stream_closed": (
+            "WITH o AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "t AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s, "
+            "CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s, "
+            "count(*) AS n_events FROM t GROUP BY user_id, sid"
+        ),
         "sessionize_events": (
             "WITH s AS (SELECT user_id, ts, event_id, "
             "CASE WHEN date_diff('second', lag(ts) OVER w, ts) IS NULL "
@@ -882,6 +1020,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_neardup": _lsh_neardup_sql(),
         "ann_lsh_bucketed": _lsh_ann_sql(),
         "ann_ivf_topk": _ivf_sql(),
+        "embedding_cosine_neardup": _emb_neardup_sql(),
         "excel_roundtrip_scan": (
             "SELECT n_nationkey, n_name, n_regionkey FROM nation"
         ),

@@ -313,6 +313,30 @@ def ivf_topk(
     )
 
 
+def embedding_near_duplicates(
+    df: DataFrame, threshold: float = 0.99, planes: int = 4, dims: int = 64,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: LSH-bucket the vectors once
+    (each vector lands in exactly ONE composite bucket, so a pair is
+    emitted at most once), equi-join within buckets, verify with exact
+    cosine >= threshold. O(n x avg-bucket) candidates, never O(n^2) — the
+    embedding analogue of the MinHash banding join. Exact duplicates always
+    share a bucket, so recall for true copies is 1.0; near-misses across a
+    hyperplane are the usual LSH trade-off (raise ``planes`` for precision,
+    repeat with rotated planes for recall)."""
+    b = lsh_hyperplane_bucket(vec_col, planes, dims)
+    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("b"))
+    a = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "b")
+    c = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "b")
+    return (
+        a.join(c, "b")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
 def ann_lsh_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, planes: int = 4,
     id_col: str = "vec_id", vec_col: str = "embedding", dims: int = 64,

@@ -259,6 +259,10 @@ class TargetTable:
         new_v = m["current_schema"] + 1
         m["schemas"][str(new_v)] = fields
         m["current_schema"] = new_v
+        # a schema change is its own snapshot version (metadata-only, same
+        # data files) — every commit must claim a fresh version under the
+        # optimistic CAS protocol
+        m["version"] += 1
         m["history"].append({"at": time.time(), "schema": new_v, "op": "evolve"})
         self._commit_manifest(m)
         return new_v
@@ -638,6 +642,44 @@ class TargetTable:
             "processing_time_seconds_max": round(max((r["duration_s"] for r in ok), default=0.0), 3),
             "snapshot_version": self._load()["version"],
         }
+
+    def export_prometheus(
+        self, file_path: str | None = None, prefix: str = "ingestor"
+    ) -> str:
+        """Prometheus text-format (0.0.4) dump of :meth:`metrics_summary` —
+        parity with the reference's exit-time ``generate_latest()`` file
+        (fileprocesser/file_processor.py:34-52; counter set from
+        config/config.py:7-28). Returns the exposition text; also writes it
+        atomically when ``file_path`` is given."""
+        m = self.metrics_summary()
+        counters = [
+            ("records_read", "Total number of records read from the source."),
+            ("records_processed", "Total number of records applied to the target table."),
+            ("batches_committed", "Total number of committed micro-batches."),
+            ("errors", "Total number of batches that failed to commit."),
+        ]
+        lines: list[str] = []
+        for name, help_ in counters:
+            full = f"{prefix}_{name}"
+            lines += [f"# HELP {full} {help_}", f"# TYPE {full} counter",
+                      f"{full} {m[name]}"]
+        pt = f"{prefix}_processing_time_seconds"
+        lines += [
+            f"# HELP {pt} Time taken to merge-apply a micro-batch.",
+            f"# TYPE {pt} summary",
+            f"{pt}_sum {m['processing_time_seconds_sum']}",
+            f"{pt}_count {m['batches_committed']}",
+        ]
+        sv = f"{prefix}_snapshot_version"
+        lines += [f"# HELP {sv} Current table snapshot version.",
+                  f"# TYPE {sv} gauge", f"{sv} {m['snapshot_version']}"]
+        text = "\n".join(lines) + "\n"
+        if file_path:
+            tmp = f"{file_path}.tmp-{uuid.uuid4().hex}"
+            with open(tmp, "w") as f:
+                f.write(text)
+            os.replace(tmp, file_path)
+        return text
 
     def expire_snapshots(self, keep_last: int = 1) -> None:
         """Delete snapshot dirs no longer referenced by the manifest."""

@@ -266,3 +266,25 @@ def test_purge_rewrites_only_tombstone_buckets(spark, tmp_path):
             assert m2["buckets"].get(b) != info
     assert t.snapshot_hash() == visible_before
     assert t.read_raw().where("_op = 'D'").count() == 0
+
+
+# ---------------------------------------------------------------- prometheus
+
+
+def test_prometheus_text_export(spark, tmp_path):
+    from data_ingestor_py_spark.plans.replay import replay, split_batches
+    from data_ingestor_py_spark.sources.generator import change_events
+
+    t = make_table(spark, tmp_path / "t")
+    ev = change_events(spark, 300, n_repos=5, paths_per_repo=5, seed=1)
+    replay(t, split_batches(ev, 2), prepare=lambda df, i: _prep(df))
+    out = tmp_path / "metrics_output.txt"
+    text = t.export_prometheus(str(out))
+    assert out.read_text() == text
+    assert "# TYPE ingestor_records_read counter" in text
+    assert "ingestor_records_read 300" in text
+    assert "ingestor_batches_committed 2" in text
+    assert "# TYPE ingestor_processing_time_seconds summary" in text
+    assert "ingestor_processing_time_seconds_count 2" in text
+    assert "ingestor_snapshot_version 2" in text
+    assert text.endswith("\n")

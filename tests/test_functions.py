@@ -142,3 +142,21 @@ def test_ivf_recall_vs_bruteforce(spark):
               for r in S.ivf_topk(emb.where("vec_id < 5"), emb, k=5, n_lists=8, n_probe=4).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall
+
+
+def test_embedding_near_duplicates_finds_injected_copies(spark, sf_dir):
+    """LSH-bucketed cosine near-dup: exact copies always share a bucket, so
+    every injected duplicate pair is recovered; random 64-dim vectors never
+    reach the 0.99 threshold, so precision is clean too."""
+    from pyspark.sql import functions as F
+
+    from data_ingestor_py_spark.functions.similarity import embedding_near_duplicates
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding")
+    copies = emb.where("vec_id < 10").select(
+        (F.col("vec_id") + 50000).alias("vec_id"), "embedding"
+    )
+    pairs = embedding_near_duplicates(emb.unionByName(copies), threshold=0.99).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert got == {(i, i + 50000) for i in range(10)}
+    assert all(r["cos"] >= 0.99 for r in pairs)
