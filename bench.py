@@ -39,6 +39,9 @@ HEADLINE = [
     "language_id",
     "ann_topk_cosine",
     "ann_lsh_bucketed",
+    "ann_ivf_topk",  # added r2: corpus assignment rewritten shuffle-free
+    "embedding_cosine_neardup",  # added r2
+    "excel_roundtrip_scan",  # added r2
 ]
 
 

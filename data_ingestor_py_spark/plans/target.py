@@ -318,7 +318,6 @@ class TargetTable:
         self,
         batch: DataFrame,
         salt_buckets: int = 0,
-        dedup_ids: list[str] | None = None,
         stats: str = "full",
         max_commit_retries: int = 5,
     ) -> MergeStats:
@@ -328,7 +327,7 @@ class TargetTable:
         optimistic retry) up to ``max_commit_retries`` times."""
         for attempt in range(max_commit_retries + 1):
             try:
-                return self._merge_apply_once(batch, salt_buckets, dedup_ids, stats)
+                return self._merge_apply_once(batch, salt_buckets, stats)
             except CommitConflict:
                 if attempt == max_commit_retries:
                     raise
@@ -338,7 +337,6 @@ class TargetTable:
         self,
         batch: DataFrame,
         salt_buckets: int = 0,
-        dedup_ids: list[str] | None = None,
         stats: str = "full",
     ) -> MergeStats:
         """Apply one micro-batch of change events.
