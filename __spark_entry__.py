@@ -298,6 +298,37 @@ def q_ann_ivf_topk(spark, sf_dir):
     return S.ivf_topk(emb.where("vec_id < 8"), emb, k=5, n_lists=8, n_probe=3)
 
 
+def q_asof_join_purchase_value(spark, sf_dir):
+    """As-of join (absent from both Spark and the reference): each event
+    annotated with the user's most recent purchase value at-or-before its
+    timestamp. One union/window pass per key — the 10^10-row shape. DuckDB
+    oracle uses its native ASOF LEFT JOIN."""
+    from data_ingestor_py_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    right = (
+        ev.where("event_type = 'purchase'")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("pvalue"))  # dedup ties identically in SQL
+    )
+    left = ev.select("user_id", "event_id", "ts")
+    out = asof_join(left, right, on=["user_id"], ts_col="ts", value_cols=["pvalue"])
+    return out.select("user_id", "event_id", "pvalue")
+
+
+def q_range_join_event_bursts(spark, sf_dir):
+    """Bounded range self-join: per event, how many other events of the
+    same user fall within +-1 day. Bucketed into day cells + adjacent-cell
+    equi-join (O(n x density), never the O(n^2) plan a naive inequality
+    join produces); oracle is the naive inequality join itself."""
+    from data_ingestor_py_spark.operators.temporal import range_self_join_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return range_self_join_counts(
+        ev, key_cols=["user_id"], ts_col="ts", id_col="event_id", window_s=86400
+    )
+
+
 def q_embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup over a duplicate-injected corpus: copies of
     the first 20 vectors under shifted ids must be found as pairs by the
@@ -557,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_cosine_neardup": q_embedding_cosine_neardup,
+        "asof_join_purchase_value": q_asof_join_purchase_value,
+        "range_join_event_bursts": q_range_join_event_bursts,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "topk_orders_by_value": q_topk_orders_by_value,
         "semi_anti_joins": q_semi_anti_joins,
@@ -1021,6 +1054,19 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_ann_sql(),
         "ann_ivf_topk": _ivf_sql(),
         "embedding_cosine_neardup": _emb_neardup_sql(),
+        "asof_join_purchase_value": (
+            "WITH r AS (SELECT user_id, ts, max(value) AS pvalue FROM events "
+            "WHERE event_type = 'purchase' GROUP BY 1, 2) "
+            "SELECT e.user_id, e.event_id, r.pvalue "
+            "FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND e.ts >= r.ts"
+        ),
+        "range_join_event_bursts": (
+            "SELECT e.event_id, count(o.event_id) AS n_neighbors "
+            "FROM events e LEFT JOIN events o "
+            "ON e.user_id = o.user_id AND o.event_id <> e.event_id "
+            "AND abs(epoch(e.ts) - epoch(o.ts)) <= 86400 "
+            "GROUP BY e.event_id"
+        ),
         "excel_roundtrip_scan": (
             "SELECT n_nationkey, n_name, n_regionkey FROM nation"
         ),

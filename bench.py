@@ -42,6 +42,8 @@ HEADLINE = [
     "ann_ivf_topk",  # added r2: corpus assignment rewritten shuffle-free
     "embedding_cosine_neardup",  # added r2
     "excel_roundtrip_scan",  # added r2
+    "asof_join_purchase_value",  # added r2
+    "range_join_event_bursts",  # added r2
 ]
 
 
