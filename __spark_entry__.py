@@ -430,6 +430,25 @@ def q_pipeline_training_prep(spark, sf_dir):
     return keep.join(canon, "doc_id").join(lang, "doc_id").join(toks, "doc_id")
 
 
+def q_session_window_native(spark, sf_dir):
+    """Sessionization via Spark's BUILT-IN session_window aggregation (pure
+    JVM whole-stage path — the engine's default for plain gap semantics;
+    applyInPandasWithState is reserved for custom state logic). Window start
+    = first event, end = last event + gap; compared at microsecond-exact
+    epoch-floor granularity."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "1800 seconds").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.floor(F.col("w.start").cast("timestamp").cast("double")).cast("long").alias("session_start_s"),
+            F.floor(F.col("w.end").cast("timestamp").cast("double")).cast("long").alias("session_end_s"),
+            "n_events",
+        )
+    )
+
+
 def q_sessionize_stream_closed(spark, sf_dir):
     """Custom stateful streaming operator through a REAL streaming query:
     events replayed via a file-source stream into applyInPandasWithState
@@ -574,6 +593,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_pricing_summary": q_agg_pricing_summary,
         "groupby_argmax_mode": q_groupby_argmax_mode,
         "sessionize_events": q_sessionize_events,
+        "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
@@ -962,6 +982,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT user_id, event_type, count(*) AS cnt, "
             "row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, event_type ASC) rn "
             "FROM events GROUP BY user_id, event_type) WHERE rn = 1"
+        ),
+        "session_window_native": (
+            # Spark merges an event into the open session iff its time is
+            # STRICTLY before prev + gap, so the split condition is >= 1800
+            # at microsecond resolution; window end = last event + gap
+            "WITH o AS (SELECT user_id, ts, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), "
+            "t AS (SELECT user_id, ts, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
+            "SELECT user_id, CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s, "
+            "CAST(floor(epoch(max(ts)) + 1800) AS BIGINT) AS session_end_s, "
+            "count(*) AS n_events FROM t GROUP BY user_id, sid"
         ),
         "sessionize_stream_closed": (
             "WITH o AS (SELECT user_id, ts, "
