@@ -367,6 +367,50 @@ def q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_rollup_pricing(spark, sf_dir):
+    """ROLLUP aggregation (subtotals + grand total) with grouping_id to
+    disambiguate NULL-as-subtotal from NULL data — relational surface the
+    reference's SQL sink users would expect."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_quantity").cast("decimal(18,6)")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.sum(dec).cast("decimal(28,4)").cast("double").alias("sum_qty"),
+            F.count("*").alias("n_rows"),
+        )
+        .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "n_rows")
+    )
+
+
+def q_pivot_events_by_type(spark, sf_dir):
+    """PIVOT: per-user event counts spread across event-type columns
+    (explicit value list keeps the plan a single pass, no distinct scan)."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "error", "signup"]
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in types],
+        )
+    )
+
+
+def q_percentiles_order_value(spark, sf_dir):
+    """Exact percentiles (interpolating PERCENTILE_CONT semantics) of order
+    value per priority class."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", 0.5).alias("p50"),
+        F.percentile("o_totalprice", 0.9).alias("p90"),
+        F.count("*").alias("n_orders"),
+    )
+
+
 def q_topk_orders_by_value(spark, sf_dir):
     """Sort/limit/top-k (absent from the reference): top 20 orders by total
     price with deterministic tie-break."""
@@ -611,6 +655,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase_value": q_asof_join_purchase_value,
         "range_join_event_bursts": q_range_join_event_bursts,
         "join_revenue_by_nation": q_join_revenue_by_nation,
+        "rollup_pricing": q_rollup_pricing,
+        "pivot_events_by_type": q_pivot_events_by_type,
+        "percentiles_order_value": q_percentiles_order_value,
         "topk_orders_by_value": q_topk_orders_by_value,
         "semi_anti_joins": q_semi_anti_joins,
         "running_revenue_window": q_running_revenue_window,
@@ -1047,6 +1094,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name"
+        ),
+        "rollup_pricing": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid, "
+            "CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DECIMAL(28,4)) AS DOUBLE) AS sum_qty, "
+            "count(*) AS n_rows "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "pivot_events_by_type": (
+            "SELECT user_id, "
+            "count(*) FILTER (event_type = 'click') AS n_click, "
+            "count(*) FILTER (event_type = 'view') AS n_view, "
+            "count(*) FILTER (event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (event_type = 'error') AS n_error, "
+            "count(*) FILTER (event_type = 'signup') AS n_signup "
+            "FROM events GROUP BY user_id"
+        ),
+        "percentiles_order_value": (
+            "SELECT o_orderpriority, "
+            "quantile_cont(o_totalprice, 0.5) AS p50, "
+            "quantile_cont(o_totalprice, 0.9) AS p90, "
+            "count(*) AS n_orders FROM orders GROUP BY o_orderpriority"
         ),
         "topk_orders_by_value": (
             "SELECT rank, o_orderkey, o_custkey, o_totalprice FROM ("
