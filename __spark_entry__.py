@@ -613,6 +613,18 @@ def q_multimodal_decode_features(spark, sf_dir):
     )
 
 
+def q_multimodal_resize(spark, sf_dir):
+    """Resize stage (nearest-neighbor downsample to 4x4): full resized
+    bytes compared as hex — the oracle recomputes every sampled pixel from
+    the sha256-derived source raster in SQL."""
+    from data_ingestor_py_spark.functions.multimodal import resize_images, synth_media
+
+    out = resize_images(synth_media(spark, 100, "image"), target_w=4, target_h=4)
+    return out.select(
+        "doc_id", "width", "height", F.lower(F.hex("data")).alias("data_hex")
+    )
+
+
 def q_multimodal_frame_sample(spark, sf_dir):
     """Video frame sampling; the gate compares FULL frame bytes as lowercase
     hex (DuckDB's sha256 is VARCHAR-only, and hex is strictly stronger)."""
@@ -665,6 +677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_training_prep": q_pipeline_training_prep,
         "excel_roundtrip_scan": q_excel_roundtrip_scan,
         "multimodal_decode_features": q_multimodal_decode_features,
+        "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
     }
 
@@ -936,6 +949,42 @@ def _multimodal_decode_sql(n_rows: int = 200, dims: int = 16, seed: int = 42) ->
         FROM e"""
 
 
+def _multimodal_resize_sql(
+    n_rows: int = 100, tw: int = 4, th: int = 4, seed: int = 42
+) -> str:
+    """DuckDB twin of resize_images: nearest-neighbor pixel (c,y,x) maps to
+    source byte c*w*h + ((y*h)//th)*w + ((x*w)//tw); payload byte i is hex
+    pair (i % 32) of the sha256 digest. Output = SYNM header for (0,tw,th,3)
+    + the tw*th*3 sampled bytes, all as one hex string."""
+    n_ch = 3
+    n_px = tw * th * n_ch
+    # header: MAGIC 'SYNM' + >BHHH (mod=0, tw, th, n=3)
+    header_hex = (
+        b"SYNM".hex() + f"{0:02x}" + f"{tw:04x}" + f"{th:04x}" + f"{n_ch:04x}"
+    )
+    idx = (
+        f"(((i // {tw * th}) * w * h) "
+        f"+ ((((i % {tw * th}) // {tw}) * h) // {th}) * w "
+        f"+ (((i % {tw}) * w) // {tw}))"
+    )
+    return f"""
+        WITH g AS (
+          SELECT CAST(r.range AS BIGINT) AS doc_id,
+                 sha256('{seed}:' || CAST(r.range AS VARCHAR)) AS hx
+          FROM range({n_rows}) r),
+        d AS (
+          SELECT doc_id, hx,
+                 8 + ('0x' || substr(hx, 1, 2))::BIGINT % 8 AS w,
+                 8 + ('0x' || substr(hx, 3, 2))::BIGINT % 8 AS h
+          FROM g)
+        SELECT doc_id, {tw} AS width, {th} AS height,
+               '{header_hex}' || list_aggregate(
+                 list_transform(range(0, {n_px}),
+                   i -> substr(hx, 2 * ({idx} % 32) + 1, 2)),
+                 'string_agg', '') AS data_hex
+        FROM d"""
+
+
 def _frame_sample_sql(n_rows: int = 100, every_k: int = 2, seed: int = 42) -> str:
     """DuckDB twin of sample_frames over SYNM video: every frame's BYTES are
     compared as lowercase hex (video: w=8+b0%8, h=8+b1%8, n=2+b2%4 frames,
@@ -1176,6 +1225,7 @@ def oracle_sql() -> dict[str, str]:
         # multimodal: SYNM bytes are sha256-derived, so headers, folded
         # histograms and full frame bytes are expressible in DuckDB SQL
         "multimodal_decode_features": _multimodal_decode_sql(),
+        "multimodal_resize": _multimodal_resize_sql(),
         "multimodal_frame_sample": _frame_sample_sql(),
     }
 
