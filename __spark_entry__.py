@@ -613,6 +613,18 @@ def q_multimodal_decode_features(spark, sf_dir):
     )
 
 
+def q_vectorized_normalize(spark, sf_dir):
+    """M6 gate: the Arrow pandas-UDF normalizer (CRLF->LF, strip trailing
+    line whitespace, single trailing newline) over a deterministically
+    messied text column, vs the same chain in pure SQL. Proves the Python
+    escape hatch is Arrow-batched AND value-exact."""
+    from data_ingestor_py_spark.functions.content import normalize_content
+
+    docs = _t(spark, sf_dir, "documents")
+    messy = F.concat(F.regexp_replace("text", " ", " \t\n"), F.lit("\r\n\r\n"))
+    return docs.select("doc_id", normalize_content(messy).alias("norm_text"))
+
+
 def q_multimodal_resize(spark, sf_dir):
     """Resize stage (nearest-neighbor downsample to 4x4): full resized
     bytes compared as hex — the oracle recomputes every sampled pixel from
@@ -676,6 +688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_users": q_set_ops_active_users,
         "pipeline_training_prep": q_pipeline_training_prep,
         "excel_roundtrip_scan": q_excel_roundtrip_scan,
+        "vectorized_normalize": q_vectorized_normalize,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1224,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # multimodal: SYNM bytes are sha256-derived, so headers, folded
         # histograms and full frame bytes are expressible in DuckDB SQL
+        "vectorized_normalize": "WITH m AS (SELECT doc_id, regexp_replace(text, ' ', ' \t\n', 'g') || chr(13)||chr(10)||chr(13)||chr(10) AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(replace(t, chr(13)||chr(10), chr(10)), '[ \t]+\n', chr(10), 'g'), '\n+$', '') || chr(10) AS norm_text FROM m",
         "multimodal_decode_features": _multimodal_decode_sql(),
         "multimodal_resize": _multimodal_resize_sql(),
         "multimodal_frame_sample": _frame_sample_sql(),
