@@ -61,3 +61,66 @@ def test_range_pair_counted_once_across_cell_boundary(spark):
     out = range_self_join_counts(df, ["k"], "ts", "eid", window_s=60)
     got = {r["eid"]: r["n_neighbors"] for r in out.collect()}
     assert got == {1: 1, 2: 1}  # exactly once, not once per shared cell
+
+
+def test_asof_matches_pandas_merge_asof_property(spark):
+    """Property check vs an independent reference implementation: random
+    keyed event/quote sets must agree with pandas.merge_asof (backward,
+    exact matches allowed) on every row."""
+    import pandas as pd
+
+    rng_rows = []
+    h = 0
+    for i in range(400):  # deterministic pseudo-random, no global seed state
+        h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+        rng_rows.append((h % 5, (h >> 8) % 1000, i))
+    left_pd = pd.DataFrame(rng_rows, columns=["k", "t", "row_id"])
+    right_rows = []
+    for i in range(120):
+        h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+        right_rows.append((h % 5, (h >> 8) % 1000, float(i)))
+    right_pd = (
+        pd.DataFrame(right_rows, columns=["k", "t", "v"])
+        .groupby(["k", "t"], as_index=False)["v"].max()  # dedup like the engine requires
+    )
+
+    expected = pd.merge_asof(
+        left_pd.assign(ts=pd.to_datetime(left_pd["t"], unit="s")).sort_values("ts"),
+        right_pd.assign(ts=pd.to_datetime(right_pd["t"], unit="s")).sort_values("ts"),
+        on="ts", by="k", direction="backward", allow_exact_matches=True,
+    ).set_index("row_id")["v"].to_dict()
+
+    left = spark.createDataFrame(left_pd, "k long, t long, row_id long").select(
+        "k", "row_id", F.timestamp_seconds("t").alias("ts")
+    )
+    right = spark.createDataFrame(right_pd, "k long, t long, v double").select(
+        "k", F.timestamp_seconds("t").alias("ts"), "v"
+    )
+    got = {
+        r["row_id"]: r["v"]
+        for r in asof_join(left, right, on=["k"], ts_col="ts", value_cols=["v"]).collect()
+    }
+    import math
+    for rid, exp in expected.items():
+        g = got[rid]
+        assert (g is None and (exp is None or (isinstance(exp, float) and math.isnan(exp)))) or g == exp, (
+            rid, g, exp)
+
+
+def test_range_counts_match_bruteforce_property(spark):
+    import itertools
+
+    rows, h = [], 7
+    for i in range(300):
+        h = (h * 1103515245 + 12345) & 0x7FFFFFFF
+        rows.append((h % 4, (h >> 7) % 5000, i))
+    expected = {i: 0 for _, _, i in rows}
+    for (k1, t1, i1), (k2, t2, i2) in itertools.permutations(rows, 2):
+        if k1 == k2 and abs(t1 - t2) <= 120:
+            expected[i1] += 1
+    df = spark.createDataFrame(rows, "k long, t long, eid long").select(
+        "k", "eid", F.timestamp_seconds("t").alias("ts")
+    )
+    out = range_self_join_counts(df, ["k"], "ts", "eid", window_s=120)
+    got = {r["eid"]: r["n_neighbors"] for r in out.collect()}
+    assert got == expected
