@@ -128,24 +128,42 @@ class SqlUpsertSink:
 
     def apply_batch(self, batch: DataFrame) -> int:
         """Distributed per-key reduce, then one set-based upsert. Returns
-        the number of staged (applied-candidate) rows."""
+        the number of staged (applied-candidate) rows.
+
+        Staging never round-trips through the driver: the EXECUTORS write
+        the reduced batch as parquet and the database ingests the files
+        directly (``read_parquet``) — the same division of labor as the
+        production JDBC path, where ``df.write.jdbc`` lands the staging
+        table from the executors. Driver memory stays O(1) regardless of
+        batch width."""
+        import shutil
+        import tempfile
+
         cols = self.key_cols + [n for n, _ in self.payload] + [n for n, _ in ENGINE_COLS]
         reduced = latest_by_key(batch.select(*cols), self.key_cols, seq_col=self.seq_col)
-        pdf = reduced.toPandas()  # bounded: one row per key present in the batch
-        if pdf.empty:
-            return 0
-        staging = f"_staging_{self.table}"
-        self.con.register(staging, pdf)
+        stage_dir = tempfile.mkdtemp(prefix=f"sqlsink-{self.table}-")
         try:
+            reduced.write.mode("overwrite").parquet(stage_dir)
+            staging = f"_staging_{self.table}"
+            col_list = ", ".join(f'"{c.lower()}"' for c in cols)
             self.con.execute(
-                build_staging_upsert(
-                    self.table, staging, self.key_cols,
-                    [n for n, _ in self.payload], self.seq_col, dialect="duckdb",
-                )
+                f"CREATE OR REPLACE TEMP VIEW {staging} AS "
+                f"SELECT {col_list} FROM read_parquet('{stage_dir}/*.parquet')"
             )
+            try:
+                n = self.con.execute(f"SELECT count(*) FROM {staging}").fetchone()[0]
+                if n:
+                    self.con.execute(
+                        build_staging_upsert(
+                            self.table, staging, self.key_cols,
+                            [n_ for n_, _ in self.payload], self.seq_col, dialect="duckdb",
+                        )
+                    )
+            finally:
+                self.con.execute(f"DROP VIEW IF EXISTS {staging}")
+            return int(n)
         finally:
-            self.con.unregister(staging)
-        return len(pdf)
+            shutil.rmtree(stage_dir, ignore_errors=True)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` (streaming CDC tail into
