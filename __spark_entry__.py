@@ -329,6 +329,20 @@ def q_range_join_event_bursts(spark, sf_dir):
     )
 
 
+def q_neardup_clusters(spark, sf_dir):
+    """Dedup last mile: LSH near-dup PAIRS -> connected CLUSTERS with a
+    canonical (min) doc id each. Iterative min-label propagation (Pregel as
+    joins); oracle = transitive closure via recursive CTE over the same
+    banding-join pairs."""
+    from data_ingestor_py_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = S.minhash_near_duplicates(docs, threshold=0.05).select("id_a", "id_b")
+    return connected_components(
+        docs.select("doc_id"), pairs, id_col="doc_id", src="id_a", dst="id_b"
+    )
+
+
 def q_embedding_cosine_neardup(spark, sf_dir):
     """Embedding-cosine near-dup over a duplicate-injected corpus: copies of
     the first 20 vectors under shifted ids must be found as pairs by the
@@ -676,6 +690,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_bucketed": q_ann_lsh_bucketed,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_cosine_neardup": q_embedding_cosine_neardup,
+        "neardup_clusters": q_neardup_clusters,
         "asof_join_purchase_value": q_asof_join_purchase_value,
         "range_join_event_bursts": q_range_join_event_bursts,
         "join_revenue_by_nation": q_join_revenue_by_nation,
@@ -886,6 +901,44 @@ def _ivf_sql(n_lists: int = 8, n_probe: int = 3, k: int = 5, seed: int = 42) -> 
         SELECT query_id, neighbor_id, rank FROM (
           SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
           FROM s) WHERE rank <= {k}"""
+
+
+def _neardup_clusters_sql(
+    bands: int = 4, rows_per_band: int = 2, threshold: float = 0.05
+) -> str:
+    """Transitive closure (recursive CTE) over the SAME banding-join pairs
+    as _lsh_neardup_sql; component = min reachable doc id."""
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(m{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        + " AS bh FROM sig"
+        for b in range(bands)
+    )
+    inter = "len(list_intersect(s1.shingles, s2.shingles))"
+    return f"""
+        WITH RECURSIVE {_minhash_cte()},
+        bands AS ({band_rows}),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM bands a JOIN bands b ON a.band = b.band AND a.bh = b.bh
+                 WHERE a.doc_id < b.doc_id),
+        js AS (SELECT c.id_a, c.id_b,
+                      {inter}::DOUBLE /
+                      (len(s1.shingles) + len(s2.shingles) - {inter})::DOUBLE AS jaccard
+               FROM cand c JOIN sh s1 ON s1.doc_id = c.id_a JOIN sh s2 ON s2.doc_id = c.id_b),
+        e AS (SELECT id_a, id_b FROM js WHERE jaccard >= {threshold}),
+        und AS (SELECT id_a AS u, id_b AS v FROM e UNION SELECT id_b, id_a FROM e),
+        reach(u, v) AS (
+          SELECT u, v FROM und
+          UNION
+          SELECT r.u, und.v FROM reach r JOIN und ON r.v = und.u),
+        comp AS (
+          SELECT d.doc_id,
+                 least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS component
+          FROM documents d LEFT JOIN reach r ON r.u = d.doc_id
+          GROUP BY d.doc_id)
+        SELECT doc_id, component FROM comp"""
 
 
 def _emb_neardup_sql(threshold: float = 0.99, planes: int = 4, dims: int = 64) -> str:
@@ -1219,6 +1272,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_bucketed": _lsh_ann_sql(),
         "ann_ivf_topk": _ivf_sql(),
         "embedding_cosine_neardup": _emb_neardup_sql(),
+        "neardup_clusters": _neardup_clusters_sql(),
         "asof_join_purchase_value": (
             "WITH r AS (SELECT user_id, ts, max(value) AS pvalue FROM events "
             "WHERE event_type = 'purchase' GROUP BY 1, 2) "

@@ -160,3 +160,17 @@ def test_embedding_near_duplicates_finds_injected_copies(spark, sf_dir):
     got = {(r["id_a"], r["id_b"]) for r in pairs}
     assert got == {(i, i + 50000) for i in range(10)}
     assert all(r["cos"] >= 0.99 for r in pairs)
+
+
+def test_connected_components_chains_and_singletons(spark):
+    """Min-label propagation must traverse multi-hop chains (transitive
+    near-dup clusters), keep singletons self-labeled, and converge."""
+    from data_ingestor_py_spark.operators.graph import connected_components
+
+    verts = spark.createDataFrame([(i,) for i in range(10)], "id long")
+    # chain 0-1-2-3 (diameter 3), pair 5-6, singletons 4,7,8,9
+    edges = spark.createDataFrame(
+        [(1, 0), (1, 2), (2, 3), (5, 6)], "src long, dst long"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
