@@ -627,6 +627,53 @@ def q_multimodal_decode_features(spark, sf_dir):
     )
 
 
+def q_json_roundtrip_scan(spark, sf_dir):
+    """S1/S6 end-to-end: render the nation dim as the reference's
+    {"Records": [...]} container JSON, auto-detect the record key, scan
+    distributed; oracle = the nation table."""
+    import json as _json
+
+    from data_ingestor_py_spark.sources.readers import read_json_records
+
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    d = tempfile.mkdtemp(prefix="ingestor-json-")
+    with open(os.path.join(d, "nation.json"), "w") as f:
+        _json.dump(
+            {"version": 1, "Records": [
+                {"n_nationkey": r["n_nationkey"], "n_name": r["n_name"],
+                 "n_regionkey": r["n_regionkey"]} for r in nat
+            ]},
+            f,
+        )
+    df = read_json_records(spark, d, record_key="auto")
+    return df.select(
+        F.col("n_nationkey").cast("long"), "n_name", F.col("n_regionkey").cast("long")
+    )
+
+
+def q_xml_roundtrip_scan(spark, sf_dir):
+    """S2/S7 end-to-end: nation as XML with a non-record header sibling, row
+    tag inferred by mode-argmax, scanned with Spark 4's native XML source."""
+    from xml.sax.saxutils import escape
+
+    from data_ingestor_py_spark.sources.readers import read_xml_records
+
+    nat = _t(spark, sf_dir, "nation").orderBy("n_nationkey").collect()
+    d = tempfile.mkdtemp(prefix="ingestor-xml-")
+    recs = "".join(
+        f"<Record><n_nationkey>{r['n_nationkey']}</n_nationkey>"
+        f"<n_name>{escape(r['n_name'])}</n_name>"
+        f"<n_regionkey>{r['n_regionkey']}</n_regionkey></Record>"
+        for r in nat
+    )
+    with open(os.path.join(d, "nation.xml"), "w") as f:
+        f.write(f"<Root><Header>h</Header>{recs}</Root>")
+    df = read_xml_records(spark, d, row_tag="auto")
+    return df.select(
+        F.col("n_nationkey").cast("long"), "n_name", F.col("n_regionkey").cast("long")
+    )
+
+
 def q_vectorized_normalize(spark, sf_dir):
     """M6 gate: the Arrow pandas-UDF normalizer (CRLF->LF, strip trailing
     line whitespace, single trailing newline) over a deterministically
@@ -703,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_users": q_set_ops_active_users,
         "pipeline_training_prep": q_pipeline_training_prep,
         "excel_roundtrip_scan": q_excel_roundtrip_scan,
+        "json_roundtrip_scan": q_json_roundtrip_scan,
+        "xml_roundtrip_scan": q_xml_roundtrip_scan,
         "vectorized_normalize": q_vectorized_normalize,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1287,6 +1336,12 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.event_id"
         ),
         "excel_roundtrip_scan": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ),
+        "json_roundtrip_scan": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ),
+        "xml_roundtrip_scan": (
             "SELECT n_nationkey, n_name, n_regionkey FROM nation"
         ),
         # multimodal: SYNM bytes are sha256-derived, so headers, folded
