@@ -627,6 +627,24 @@ def q_multimodal_decode_features(spark, sf_dir):
     )
 
 
+def q_pipe_csv_roundtrip(spark, sf_dir):
+    """W4 end-to-end: nation written through the pipe-delimited CSV sink
+    (the reference's golden output format, main-dms.py:54-68) and scanned
+    back with an explicit schema; oracle = the nation table."""
+    from data_ingestor_py_spark.sources.readers import write_pipe_csv
+
+    d = tempfile.mkdtemp(prefix="ingestor-csv-")
+    out = os.path.join(d, "nation_csv")
+    write_pipe_csv(
+        _t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey"), out
+    )
+    return (
+        spark.read.option("sep", "|").option("header", "true")
+        .schema("n_nationkey long, n_name string, n_regionkey long")
+        .csv(out)
+    )
+
+
 def q_json_roundtrip_scan(spark, sf_dir):
     """S1/S6 end-to-end: render the nation dim as the reference's
     {"Records": [...]} container JSON, auto-detect the record key, scan
@@ -750,6 +768,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "set_ops_active_users": q_set_ops_active_users,
         "pipeline_training_prep": q_pipeline_training_prep,
         "excel_roundtrip_scan": q_excel_roundtrip_scan,
+        "pipe_csv_roundtrip": q_pipe_csv_roundtrip,
         "json_roundtrip_scan": q_json_roundtrip_scan,
         "xml_roundtrip_scan": q_xml_roundtrip_scan,
         "vectorized_normalize": q_vectorized_normalize,
@@ -1336,6 +1355,9 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY e.event_id"
         ),
         "excel_roundtrip_scan": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation"
+        ),
+        "pipe_csv_roundtrip": (
             "SELECT n_nationkey, n_name, n_regionkey FROM nation"
         ),
         "json_roundtrip_scan": (
