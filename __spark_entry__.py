@@ -149,6 +149,22 @@ def q_schema_evolution_replay(spark, sf_dir):
     )
 
 
+def q_cdc_changes_between(spark, sf_dir):
+    """Incremental changelog read (Iceberg changelog scan analogue): the
+    row-level I/U/D delta between flagship snapshots v2 (after batches 0-1)
+    and v4 (all batches) — what a downstream consumer would replay. Oracle
+    recomputes both visible states from the raw events and diffs them."""
+    table = TargetTable(spark, _flagship_root(spark, sf_dir))
+    d = table.diff_versions(2, 4)
+    return d.select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_change_type").alias("change_type"),
+        F.col("_seq").alias("last_seq"),
+        F.col("value"),
+    )
+
+
 def q_dedup_latest_by_key(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return latest_by_key(ev, ["user_id"], seq_col="event_id")
@@ -732,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
         "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
+        "cdc_changes_between": q_cdc_changes_between,
         "dedup_latest_by_key": q_dedup_latest_by_key,
         "dedup_salted_latest": q_dedup_salted_latest,
         "mapping_projection": q_mapping_projection,
@@ -1172,6 +1189,25 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, k, event_id AS last_seq, value AS score, "
             f"CASE WHEN event_id >= (SELECT half FROM h) THEN value * 2 END AS bonus "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        "cdc_changes_between": (
+            f"WITH ranked2 AS (SELECT *, row_number() OVER (PARTITION BY user_id, k "
+            f"ORDER BY event_id DESC) AS rn FROM ({cdc_base}) WHERE event_id % 4 <= 1), "
+            f"v2 AS (SELECT user_id, k, event_id, value FROM ranked2 "
+            f"WHERE rn = 1 AND event_type <> 'error'), "
+            f"ranked4 AS (SELECT *, row_number() OVER (PARTITION BY user_id, k "
+            f"ORDER BY event_id DESC) AS rn FROM ({cdc_base})), "
+            f"v4 AS (SELECT user_id, k, event_id, value FROM ranked4 "
+            f"WHERE rn = 1 AND event_type <> 'error') "
+            f"SELECT coalesce(v4.user_id, v2.user_id) AS user_id, "
+            f"coalesce(v4.k, v2.k) AS k, "
+            f"CASE WHEN v2.user_id IS NULL THEN 'I' WHEN v4.user_id IS NULL THEN 'D' "
+            f"ELSE 'U' END AS change_type, "
+            f"coalesce(v4.event_id, v2.event_id) AS last_seq, "
+            f"coalesce(v4.value, v2.value) AS value "
+            f"FROM v2 FULL OUTER JOIN v4 ON v2.user_id = v4.user_id "
+            f"AND v2.k IS NOT DISTINCT FROM v4.k "
+            f"WHERE v2.user_id IS NULL OR v4.user_id IS NULL OR v2.event_id <> v4.event_id"
         ),
         "dedup_latest_by_key": (
             "SELECT user_id, event_id, ts, event_type, value, props FROM ("

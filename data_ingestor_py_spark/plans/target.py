@@ -30,6 +30,13 @@ At 100 TB: B is sized so a bucket (~table_size/B) fits a task comfortably;
 the merge shuffle is a hash partition on the key, AQE splits skewed
 partitions, and only touched buckets are read/written — a batch touching 3%%
 of keys reads ~3%% of the table, not all of it.
+
+Multi-writer commits are optimistic: O_EXCL creation of the per-version
+manifest file is the compare-and-swap; on object storage the same protocol
+maps 1:1 to a conditional PUT (S3 ``If-None-Match: *`` / GCS
+``ifGenerationMatch=0``) of the version object, with the main pointer
+updated last — i.e. Iceberg's catalog commit. Only this file's two
+commit/load primitives would change; the engine above them would not.
 """
 
 from __future__ import annotations
@@ -500,6 +507,53 @@ class TargetTable:
         m["history"].append({"at": time.time(), "snapshot": new_v, "op": "bulk_load"})
         self._commit_manifest(m)
         return MergeStats(-1, -1, len(written), new_v, [])
+
+    def diff_versions(self, v_old: int, v_new: int) -> DataFrame:
+        """Incremental read (Iceberg changelog-scan analogue): row-level
+        changes between two snapshots' VISIBLE states — what a downstream
+        consumer replays to stay in sync without rescanning the table.
+
+        Returns key cols + ``_change_type`` ('I'nsert / 'U'pdate /
+        'D'elete) + the payload (new image for I/U, last old image for D).
+        NULL-safe on key columns (a NULL key is a real key here). The join
+        is keyed on the bucket-pruned snapshots, so at scale it shuffles
+        only the two states' rows, never the history."""
+        m = self._load()
+        key_cols = m["key_cols"]
+        old = self.read_version(v_old)
+        new = self.read_version(v_new)
+        payload = [c for c in new.columns if c not in key_cols]
+        o = old.select(
+            *[F.col(c).alias(f"_ko_{c}") for c in key_cols],
+            F.struct(*payload).alias("_o"),
+        )
+        n = new.select(
+            *[F.col(c).alias(f"_kn_{c}") for c in key_cols],
+            F.struct(*payload).alias("_n"),
+        )
+        cond = F.lit(True)
+        for c in key_cols:
+            cond = cond & F.col(f"_ko_{c}").eqNullSafe(F.col(f"_kn_{c}"))
+        j = o.join(n, cond, "full_outer")
+        ct = (
+            F.when(F.col("_o").isNull(), F.lit("I"))
+            .when(F.col("_n").isNull(), F.lit("D"))
+            .otherwise(F.lit("U"))
+        )
+        changed = (
+            F.col("_o").isNull()
+            | F.col("_n").isNull()
+            | ~F.col("_o").eqNullSafe(F.col("_n"))
+        )
+        img = F.coalesce(F.col("_n"), F.col("_o"))
+        # _kn is NULL for D rows; _ko for I rows — coalesce per key column
+        keys = [
+            F.coalesce(F.col(f"_kn_{c}"), F.col(f"_ko_{c}")).alias(c) for c in key_cols
+        ]
+        return (
+            j.where(changed)
+            .select(*keys, ct.alias("_change_type"), *[img[c].alias(c) for c in payload])
+        )
 
     def rewrite_partition_spec(
         self, new_num_buckets: int, new_bucket_cols: list[str] | None = None

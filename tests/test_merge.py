@@ -180,3 +180,31 @@ def test_purge_tombstones_and_metrics(spark, tmp_path):
     assert m["batches_committed"] == 3 and m["errors"] == 0
     assert m["records_read"] == 1500
     assert m["processing_time_seconds_sum"] > 0
+
+
+def test_diff_versions_changelog(spark, tmp_path):
+    """Incremental changelog read: I/U/D between two snapshots' visible
+    states, NULL-safe on keys."""
+    t = make_table(spark, tmp_path / "t")
+    t.merge_apply(_prep(_mk_events(spark, [
+        ("r1", "a", 1, "I", "v1"),       # stays unchanged -> absent from diff
+        ("r1", "b", 2, "I", "v1"),       # updated later -> U
+        ("r1", "c", 3, "I", "v1"),       # deleted later -> D
+        ("r1", None, 4, "I", "null1"),   # NULL key updated later -> U
+    ])))
+    v_old = t._load()["version"]
+    t.merge_apply(_prep(_mk_events(spark, [
+        ("r1", "b", 10, "U", "v2"),
+        ("r1", "c", 11, "D", None),
+        ("r1", None, 12, "U", "null2"),
+        ("r2", "x", 13, "I", "new"),     # inserted -> I
+    ])))
+    v_new = t._load()["version"]
+    d = {(r["repo"], r["path"]): (r["_change_type"], r["content"])
+         for r in t.diff_versions(v_old, v_new).collect()}
+    assert d == {
+        ("r1", "b"): ("U", "v2"),
+        ("r1", "c"): ("D", "v1"),  # delete carries the last old image
+        ("r1", None): ("U", "null2"),
+        ("r2", "x"): ("I", "new"),
+    }
