@@ -397,6 +397,22 @@ def q_join_revenue_by_nation(spark, sf_dir):
     )
 
 
+def q_train_val_test_split(spark, sf_dir):
+    """Deterministic stratified split assignment over documents: hash-based
+    80/10/10, content-stable across reshuffles; per-language counts prove
+    stratification coverage."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", "lang", T.split_assign("doc_id").alias("split")
+    )
+
+
+def q_vocab_top100(spark, sf_dir):
+    """Vocabulary building: top-100 whitespace tokens by (count desc, token
+    asc) with dense 0-based ids."""
+    return T.build_vocab(_t(spark, sf_dir, "documents"), top_k=100)
+
+
 def q_rollup_pricing(spark, sf_dir):
     """ROLLUP aggregation (subtotals + grand total) with grouping_id to
     disambiguate NULL-as-subtotal from NULL data — relational surface the
@@ -776,6 +792,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_join_purchase_value": q_asof_join_purchase_value,
         "range_join_event_bursts": q_range_join_event_bursts,
         "join_revenue_by_nation": q_join_revenue_by_nation,
+        "train_val_test_split": q_train_val_test_split,
+        "vocab_top100": q_vocab_top100,
         "rollup_pricing": q_rollup_pricing,
         "pivot_events_by_type": q_pivot_events_by_type,
         "percentiles_order_value": q_percentiles_order_value,
@@ -1313,6 +1331,19 @@ def oracle_sql() -> dict[str, str]:
             "JOIN customer ON o_custkey = c_custkey "
             "JOIN nation ON c_nationkey = n_nationkey "
             "GROUP BY n_name"
+        ),
+        "train_val_test_split": (
+            "WITH h AS (SELECT doc_id, lang, "
+            "('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS b "
+            "FROM documents) "
+            "SELECT doc_id, lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
+            "ELSE 'test' END AS split FROM h"
+        ),
+        "vocab_top100": (
+            f"SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT) AS token_id, cnt "
+            f"FROM (SELECT token, count(*) AS cnt FROM "
+            f"(SELECT unnest({TOKS_SQL}) AS token FROM documents) GROUP BY token) "
+            f"QUALIFY token_id < 100"
         ),
         "rollup_pricing": (
             "SELECT l_returnflag, l_linestatus, "

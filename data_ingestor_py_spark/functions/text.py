@@ -108,3 +108,49 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
         lambda acc, t: (acc * FP_BASE + token_hash(t) % HASH_MOD) % HASH_MOD,
     )
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def split_assign(
+    id_col: str | Column,
+    weights: tuple[int, ...] = (80, 10, 10),
+    names: tuple[str, ...] = ("train", "val", "test"),
+    seed: int = 42,
+) -> Column:
+    """Deterministic train/val/test assignment: hash the id with the shared
+    sha-prefix primitive, bucket into sum(weights) cells, map cell ranges to
+    split names. Content-stable (reshuffling/reloading the data never moves
+    a document between splits) and exactly reproducible in SQL — the
+    property random() splits lack."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    total = sum(weights)
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), c.cast("string")), 256), 1, 8),
+        16, 10,
+    ).cast("long") % total
+    cum = 0
+    expr = None
+    for w, name in zip(weights, names):
+        cum += w
+        cond = h < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return expr.otherwise(names[-1])
+
+
+def build_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataFrame:
+    """Vocabulary construction: whitespace tokens ranked by (count desc,
+    token asc); token id = dense rank starting at 0. One shuffle for the
+    count, one tiny top-k sort — the id table is broadcast-sized by
+    construction (top_k rows)."""
+    from pyspark.sql import Window
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("token_id", F.row_number().over(w) - 1)
+        .where(F.col("token_id") < top_k)
+        .select("token", "token_id", "cnt")
+    )
