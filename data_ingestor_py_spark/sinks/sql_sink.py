@@ -141,9 +141,13 @@ class SqlUpsertSink:
 
         cols = self.key_cols + [n for n, _ in self.payload] + [n for n, _ in ENGINE_COLS]
         reduced = latest_by_key(batch.select(*cols), self.key_cols, seq_col=self.seq_col)
+        import glob
+
         stage_dir = tempfile.mkdtemp(prefix=f"sqlsink-{self.table}-")
         try:
             reduced.write.mode("overwrite").parquet(stage_dir)
+            if not glob.glob(f"{stage_dir}/*.parquet"):
+                return 0  # empty batch: Spark may emit no part files at all
             staging = f"_staging_{self.table}"
             col_list = ", ".join(f'"{c.lower()}"' for c in cols)
             self.con.execute(

@@ -132,3 +132,9 @@ def test_staging_upsert_shapes():
     assert "WHEN NOT MATCHED THEN INSERT" in mg
     ddl = build_create_table("t", ["repo"], [("content", "VARCHAR")])
     assert "PRIMARY KEY" in ddl and '"repo" VARCHAR NOT NULL' in ddl
+
+
+def test_empty_batch_is_noop(spark, sink):
+    empty = _prep(_mk_events(spark, [("r1", "a", 1, "I", "v1")])).where("1 = 0")
+    assert sink.apply_batch(empty) == 0
+    assert sink.con.sql("SELECT count(*) FROM repo_files").fetchone()[0] == 0
