@@ -139,3 +139,40 @@ def test_rewrite_partition_spec_new_bucket_cols(spark, tmp_path):
     ).where("repo = 'repo-0003' AND _seq >= 2000")
     st = t.merge_apply(one_repo)
     assert st.touched_buckets == 1
+
+
+def test_rewrite_partition_spec_on_empty_table(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t", num_buckets=4)
+    v = t.rewrite_partition_spec(32)
+    m = t._load()
+    assert m["num_buckets"] == 32 and m["version"] == v and m["buckets"] == {}
+    # table remains fully usable under the new spec
+    t.merge_apply(_prep(_mk_events(spark, [("r1", "a", 1, "I", "v1")])))
+    assert t.read().count() == 1
+
+
+def test_merge_raises_after_retry_exhaustion(spark, tmp_path):
+    import pytest as _pytest
+
+    t = make_table(spark, tmp_path / "t")
+    t.merge_apply(_prep(_mk_events(spark, [("r1", "a", 1, "I", "v1")])))
+
+    real_commit = TargetTable._commit_manifest
+
+    def sabotage(self, m):
+        # another writer always steals the version first
+        import copy
+        winner = copy.deepcopy(m)
+        real_commit(self, winner)
+        raise CommitConflict("stolen")
+
+    orig = TargetTable._commit_manifest
+    TargetTable._commit_manifest = sabotage
+    try:
+        with _pytest.raises(CommitConflict):
+            t.merge_apply(
+                _prep(_mk_events(spark, [("r1", "b", 2, "I", "v2")])),
+                max_commit_retries=2,
+            )
+    finally:
+        TargetTable._commit_manifest = orig
