@@ -24,6 +24,7 @@ import hashlib
 import struct
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -75,8 +76,11 @@ def decode_features(df: DataFrame, dims: int = 16) -> DataFrame:
     Arrow-batched ``mapInPandas``; the 'decoder' is the deterministic stub
     (header parse + byte-histogram features). Output schema is the real one
     a CLIP-style extractor would produce: (doc_id, embedding, mean_value).
+    Kernels are numpy-vectorized (``frombuffer`` + ``bincount``): the media
+    bytes are touched as whole arrays, never per-byte Python — histogram
+    values and the float64 divisions are bit-identical to the scalar form.
     """
-    out_schema = f"doc_id long, embedding array<float>, mean_value double, width int, height int"
+    out_schema = "doc_id long, embedding array<float>, mean_value double, width int, height int"
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -84,14 +88,12 @@ def decode_features(df: DataFrame, dims: int = 16) -> DataFrame:
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 b = bytes(data)
                 _, w, h, n = _parse_header(b)
-                payload = b[11:]
+                payload = np.frombuffer(b, dtype=np.uint8, offset=11)
                 # byte-histogram folded to `dims` buckets, L1-normalized
-                hist = [0] * dims
-                for byte in payload:
-                    hist[byte % dims] += 1
-                total = max(sum(hist), 1)
-                embs.append([v / total for v in hist])
-                means.append(sum(payload) / max(len(payload), 1))
+                hist = np.bincount(payload % dims, minlength=dims)
+                total = max(int(hist.sum()), 1)
+                embs.append((hist / float(total)).tolist())
+                means.append(int(payload.sum(dtype=np.int64)) / max(len(payload), 1))
                 ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
@@ -104,7 +106,13 @@ def decode_features(df: DataFrame, dims: int = 16) -> DataFrame:
 
 def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
     """Resize stage: nearest-neighbor downsample on the synthetic raster
-    (real PIL path would slot in here; identical plumbing)."""
+    (real PIL path would slot in here; identical plumbing).
+
+    The gather is a numpy strided fancy-index over the (n, h, w) raster —
+    one vectorized kernel per image instead of a triple-nested Python byte
+    loop. Source indices use integer floor division, which equals the
+    scalar ``int(y * h / target_h)`` for all header-expressible sizes
+    (y*h < 2^32, so the float64 quotient cannot cross an integer)."""
     out_schema = "doc_id long, data binary, width int, height int"
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -113,15 +121,11 @@ def resize_images(df: DataFrame, target_w: int, target_h: int) -> DataFrame:
             for doc_id, data in zip(pdf["doc_id"], pdf["data"]):
                 b = bytes(data)
                 mod, w, h, n = _parse_header(b)
-                payload = b[11:]
-                out = bytearray()
-                for c in range(n):
-                    for y in range(target_h):
-                        sy = min(int(y * h / target_h), h - 1)
-                        for x in range(target_w):
-                            sx = min(int(x * w / target_w), w - 1)
-                            out.append(payload[c * w * h + sy * w + sx])
-                data2 = MAGIC + struct.pack(">BHHH", mod, target_w, target_h, n) + bytes(out)
+                raster = np.frombuffer(b, dtype=np.uint8, offset=11).reshape(n, h, w)
+                sy = np.minimum(np.arange(target_h, dtype=np.int64) * h // target_h, h - 1)
+                sx = np.minimum(np.arange(target_w, dtype=np.int64) * w // target_w, w - 1)
+                out = raster[:, sy[:, None], sx[None, :]]  # (n, target_h, target_w), C-order
+                data2 = MAGIC + struct.pack(">BHHH", mod, target_w, target_h, n) + out.tobytes()
                 rows.append((doc_id, bytearray(data2), target_w, target_h))
             yield pd.DataFrame(rows, columns=["doc_id", "data", "width", "height"])
 

@@ -261,7 +261,10 @@ def ivf_topk(
     def cell_struct_expr(vc: str, n: int):
         """top-n (cell, by cosine desc, cid asc) as a PURE per-row expression:
         fold the centroid list per row — zero shuffle, the corpus-assignment
-        stage the r1 window version shuffled corpus x n_lists rows for."""
+        stage the r1 window version shuffled corpus x n_lists rows for.
+        The sort uses an explicit comparator (cos desc, cid asc) so centroid
+        ids of ANY orderable type work — string vec_ids included (a negated
+        numeric tie-break would fail at plan-build time for those)."""
         v = F.col(vc)
 
         def with_norm(norm_v):
@@ -274,12 +277,18 @@ def ivf_topk(
                     F.lit(0.0), lambda acc, x: acc + x,
                 )
                 cos = dot / (norm_v * F.lit(_py_norm(cv)))
-                entries.append(
-                    F.struct(cos.alias("cos"), F.lit(-int(r["cid"])).cast("long").alias("negcid"))
+                entries.append(F.struct(cos.alias("cos"), F.lit(r["cid"]).alias("cid")))
+
+            def cmp(a, b):
+                return (
+                    F.when(a["cos"] > b["cos"], F.lit(-1))
+                    .when(a["cos"] < b["cos"], F.lit(1))
+                    .when(a["cid"] < b["cid"], F.lit(-1))
+                    .when(a["cid"] > b["cid"], F.lit(1))
+                    .otherwise(F.lit(0))
                 )
-            # struct sort asc = (cos asc, negcid asc); reversed = cos desc,
-            # ties on the LOWEST cid first (negcid desc == cid asc)
-            return F.slice(F.reverse(F.array_sort(F.array(*entries))), 1, n)
+
+            return F.slice(F.array_sort(F.array(*entries), cmp), 1, n)
 
         norm_v = F.sqrt(
             F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
@@ -289,7 +298,7 @@ def ivf_topk(
     def assign_cells(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
         return df.select(
             idc, vc, F.explode(cell_struct_expr(vc, n)).alias("_s")
-        ).select(idc, vc, (-F.col("_s")["negcid"]).cast("long").alias(out))
+        ).select(idc, vc, F.col("_s")["cid"].alias(out))
 
     corpus_cells = assign_cells(
         corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv2")),

@@ -138,9 +138,13 @@ def split_assign(
 
 def build_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> DataFrame:
     """Vocabulary construction: whitespace tokens ranked by (count desc,
-    token asc); token id = dense rank starting at 0. One shuffle for the
-    count, one tiny top-k sort — the id table is broadcast-sized by
-    construction (top_k rows)."""
+    token asc); token id = dense rank starting at 0.
+
+    Shrink first, then rank: ``orderBy(...).limit(top_k)`` compiles to
+    TakeOrderedAndProject — every partition keeps only its local top_k, so
+    the corpus-wide distinct-token set never funnels through one task. The
+    global row_number window then runs over at most ``top_k`` rows (the id
+    table is broadcast-sized by construction)."""
     from pyspark.sql import Window
 
     counts = (
@@ -148,9 +152,9 @@ def build_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> Data
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(top_k)
     w = Window.orderBy(F.desc("cnt"), F.asc("token"))
     return (
-        counts.withColumn("token_id", F.row_number().over(w) - 1)
-        .where(F.col("token_id") < top_k)
+        top.withColumn("token_id", F.row_number().over(w) - 1)
         .select("token", "token_id", "cnt")
     )

@@ -115,15 +115,21 @@ class Checkpoint:
         self.spark = spark
         self.dir = os.path.join(root, "_checkpoint")
 
-    def committed_batches(self) -> set[int]:
-        """Driver-side metadata read — no Spark job."""
+    def committed_batches(self, checksum: str | None = None) -> set[int]:
+        """Driver-side metadata read — no Spark job. With ``checksum`` the
+        set is restricted to rows carrying that checksum value (used by the
+        streaming path, which stores its stream identity there, so epoch
+        numbering from a DIFFERENT stream checkpoint never aliases)."""
         if not os.path.isdir(self.dir) or not os.listdir(self.dir):
             return set()
         ds = pads.dataset(self.dir, format="parquet")
-        t = ds.to_table(columns=["batch_id", "status"])
+        t = ds.to_table(columns=["batch_id", "status", "checksum"])
         return {
-            b for b, s in zip(t["batch_id"].to_pylist(), t["status"].to_pylist())
-            if s == "COMMITTED"
+            b for b, s, c in zip(
+                t["batch_id"].to_pylist(), t["status"].to_pylist(),
+                t["checksum"].to_pylist(),
+            )
+            if s == "COMMITTED" and (checksum is None or c == checksum)
         }
 
     def commit(self, rec: BatchRecord) -> None:

@@ -77,9 +77,26 @@ def stream_replay(
 
     cp = Checkpoint(spark, table.root)
     lin = Lineage(spark, table.root)
+    # Restart hygiene (mirrors plans/replay.py's committed-batch skip): if
+    # Spark re-delivers an epoch after a crash between OUR checkpoint write
+    # and SPARK's offset commit, the merge would be harmless (idempotent)
+    # but the re-applied epoch would append a second _checkpoint/_lineage
+    # row set with fresh timestamps, inflating lineage counts. Epoch ids are
+    # only meaningful WITHIN one Spark checkpointLocation (a fresh location
+    # restarts numbering at 0 over possibly-new data), so the committed set
+    # is keyed by a stream identity stored in the record's checksum field —
+    # epochs of a different/rebuilt stream checkpoint are never skipped,
+    # they just re-merge idempotently. Read once at start: replayed epochs
+    # are always from before the restart.
+    stream_ident = f"stream:{checkpoint_dir}" if checkpoint_dir else ""
+    already_committed = (
+        cp.committed_batches(checksum=stream_ident) if checkpoint_dir else set()
+    )
 
     def apply_batch(df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
+        if epoch_id in already_committed:
+            return
         if on_epoch_start is not None:
             # schema-evolution hook per micro-batch (the streaming analogue
             # of replay()'s on_batch_start)
@@ -96,7 +113,7 @@ def stream_replay(
                 rows_applied=st.rows_after_dedup,
                 touched_buckets=st.touched_buckets,
                 snapshot_version=st.snapshot_version,
-                checksum="",
+                checksum=stream_ident,
                 status="COMMITTED",
                 started_at=t0,
                 committed_at=t1,

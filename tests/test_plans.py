@@ -119,3 +119,34 @@ def test_ivf_corpus_assignment_has_no_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "BroadcastHashJoin" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_build_vocab_shrinks_before_ranking_window(spark):
+    """The corpus-wide distinct-token set must never funnel through one
+    task: the top_k cut compiles to TakeOrderedAndProject (per-partition
+    local top-k), and the global row_number window runs AFTER it — a plan
+    where the Window's child is the full aggregate would OOM at 100 TB."""
+    from data_ingestor_py_spark.functions.text import build_vocab
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(build_vocab(docs, top_k=100))
+    assert "TakeOrderedAndProject" in plan, plan
+    # the shrink happens below the window: TakeOrderedAndProject must appear
+    # AFTER (deeper than) the Window node in the plan string
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject"), plan
+
+
+def test_window_topk_uses_window_group_limit(spark):
+    """Per-group top-k via row_number must keep the WindowGroupLimit partial
+    pushdown (each map task pre-prunes to k rows per group before the
+    shuffle) — without it the full table sorts through the window."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"))
+    df = (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+    plan = _plan(df)
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
