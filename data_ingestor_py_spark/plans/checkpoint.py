@@ -16,7 +16,11 @@ parquet tables next to the target:
 
 These rows are metadata-scale, so they are written driver-side with pyarrow
 (zero Spark jobs per batch — on a busy cluster the scheduler never sees
-them) while remaining ordinary parquet readable by Spark/DuckDB.
+them) while remaining ordinary parquet readable by Spark/DuckDB. All writes
+go through the same :class:`~data_ingestor_py_spark.storage.StorageAdapter`
+as the manifest commit (serialize to an Arrow buffer, ``put`` a unique
+key), so the checkpoint/lineage tables need nothing beyond the object API
+either.
 """
 
 from __future__ import annotations
@@ -31,6 +35,8 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from pyspark.sql import DataFrame, SparkSession
+
+from data_ingestor_py_spark.storage import PosixStorage, StorageAdapter
 
 CHECKPOINT_DDL = (
     "batch_id long, src_offset_start long, src_offset_end long, "
@@ -73,56 +79,66 @@ class BatchRecord:
     duration_s: float
 
 
-def _append_arrow(dir_: str, table: pa.Table) -> None:
-    os.makedirs(dir_, exist_ok=True)
-    pq.write_table(table, os.path.join(dir_, f"part-{uuid.uuid4().hex}.parquet"))
+def _serialize(table: pa.Table) -> bytes:
+    sink = pa.BufferOutputStream()
+    pq.write_table(table, sink)
+    return sink.getvalue().to_pybytes()
 
 
-def _compact_dir(dir_: str, schema: pa.Schema) -> int:
+def _append_arrow(io: StorageAdapter, dir_: str, table: pa.Table) -> None:
+    io.put(os.path.join(dir_, f"part-{uuid.uuid4().hex}.parquet"), _serialize(table))
+
+
+def _compact_dir(io: StorageAdapter, dir_: str, schema: pa.Schema) -> int:
     """Rewrite many per-batch metadata files into one (long replays append
     one tiny file per batch; compaction keeps the listing cheap). Returns
     the number of files compacted.
 
-    Crash safety: the compacted table is written to a ``.tmp`` name OUTSIDE
-    the dataset glob, fsync'd, atomically renamed into place, and only then
-    are the originals removed. A crash mid-sequence leaves either (a) an
-    orphan .tmp (ignored by readers, removed next compaction) or (b) the
-    compacted file plus some originals — duplicate rows that readers dedupe
-    by batch_id (rows are byte-identical). No window loses data."""
-    if not os.path.isdir(dir_):
-        return 0
-    for f in os.listdir(dir_):  # clear orphans from a previous crash
-        if f.endswith(".tmp"):
-            os.remove(os.path.join(dir_, f))
-    files = sorted(f for f in os.listdir(dir_) if f.endswith(".parquet"))
+    Crash + concurrency safety over the object API: the compacted table is
+    ``put`` atomically (readers never see a partial object), and only then
+    are the originals deleted with idempotent deletes. A crash mid-sequence
+    leaves the compacted file plus some originals — duplicate rows that
+    readers dedupe (rows are byte-identical). Two CONCURRENT compactions
+    both write a (byte-identical-rows) compact file and race the deletes:
+    idempotent delete makes the loser's removals no-ops, and the adapter's
+    grace-period staging sweep never touches a live writer's in-flight
+    upload. No interleaving loses data."""
+    io.sweep_staging(dir_)  # grace-period-guarded orphan cleanup
+    files = [k for k in io.list(dir_) if k.endswith(".parquet")]
     if len(files) <= 1:
         return 0
-    t = pads.dataset(dir_, format="parquet").to_table()
-    t = t.cast(schema)
-    name = f"compact-{uuid.uuid4().hex}"
-    tmp = os.path.join(dir_, name + ".tmp")
-    pq.write_table(t, tmp)
-    with open(tmp, "rb") as fh:
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(dir_, name + ".parquet"))
-    for f in files:
-        os.remove(os.path.join(dir_, f))
+    tables = []
+    for k in files:
+        raw = io.get(k)
+        if raw is None:
+            continue  # a concurrent compactor already removed it
+        tables.append(pq.read_table(pa.BufferReader(raw)))
+    if not tables:
+        return 0
+    t = pa.concat_tables(tables).cast(schema)
+    io.put(os.path.join(dir_, f"compact-{uuid.uuid4().hex}.parquet"), _serialize(t))
+    for k in files:
+        io.delete(k)
     return len(files)
 
 
 class Checkpoint:
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, storage: StorageAdapter | None = None
+    ):
         self.spark = spark
         self.dir = os.path.join(root, "_checkpoint")
+        self.io = storage or PosixStorage()
 
     def committed_batches(self, checksum: str | None = None) -> set[int]:
         """Driver-side metadata read — no Spark job. With ``checksum`` the
         set is restricted to rows carrying that checksum value (used by the
         streaming path, which stores its stream identity there, so epoch
         numbering from a DIFFERENT stream checkpoint never aliases)."""
-        if not os.path.isdir(self.dir) or not os.listdir(self.dir):
+        files = [k for k in self.io.list(self.dir) if k.endswith(".parquet")]
+        if not files:
             return set()
-        ds = pads.dataset(self.dir, format="parquet")
+        ds = pads.dataset(files, format="parquet")
         t = ds.to_table(columns=["batch_id", "status", "checksum"])
         return {
             b for b, s, c in zip(
@@ -134,15 +150,21 @@ class Checkpoint:
 
     def commit(self, rec: BatchRecord) -> None:
         d = asdict(rec)
-        _append_arrow(self.dir, pa.Table.from_pylist([d], schema=_CP_ARROW))
+        _append_arrow(self.io, self.dir, pa.Table.from_pylist([d], schema=_CP_ARROW))
 
     def read(self) -> DataFrame:
         # dropDuplicates: rows duplicated by a crash mid-compaction are
-        # byte-identical, so exact-row dedup restores the logical table
-        return self.spark.read.schema(CHECKPOINT_DDL).parquet(self.dir).dropDuplicates()
+        # byte-identical, so exact-row dedup restores the logical table;
+        # pathGlobFilter skips in-flight staging uploads
+        return (
+            self.spark.read.schema(CHECKPOINT_DDL)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.dir)
+            .dropDuplicates()
+        )
 
     def compact(self) -> int:
-        return _compact_dir(self.dir, _CP_ARROW)
+        return _compact_dir(self.io, self.dir, _CP_ARROW)
 
 
 LINEAGE_DDL = "batch_id long, bucket int, rows long, committed_at double"
@@ -160,9 +182,12 @@ _LIN_ARROW = pa.schema(
 class Lineage:
     """Per-batch per-bucket applied-row counts (audit trail)."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, storage: StorageAdapter | None = None
+    ):
         self.spark = spark
         self.dir = os.path.join(root, "_lineage")
+        self.io = storage or PosixStorage()
 
     def append(self, batch_id: int, bucket_rows: list[tuple[int, int]]) -> None:
         now = time.time()
@@ -171,10 +196,15 @@ class Lineage:
             for b, n in bucket_rows
         ]
         if rows:
-            _append_arrow(self.dir, pa.Table.from_pylist(rows, schema=_LIN_ARROW))
+            _append_arrow(self.io, self.dir, pa.Table.from_pylist(rows, schema=_LIN_ARROW))
 
     def read(self) -> DataFrame:
-        return self.spark.read.schema(LINEAGE_DDL).parquet(self.dir).dropDuplicates()
+        return (
+            self.spark.read.schema(LINEAGE_DDL)
+            .option("pathGlobFilter", "*.parquet")
+            .parquet(self.dir)
+            .dropDuplicates()
+        )
 
     def compact(self) -> int:
-        return _compact_dir(self.dir, _LIN_ARROW)
+        return _compact_dir(self.io, self.dir, _LIN_ARROW)

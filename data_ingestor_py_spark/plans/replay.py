@@ -51,8 +51,8 @@ def replay(
     Returns the per-batch records that were committed this run.
     """
     spark = table.spark
-    cp = checkpoint or Checkpoint(spark, table.root)
-    lin = lineage or Lineage(spark, table.root)
+    cp = checkpoint or Checkpoint(spark, table.root, storage=table.io)
+    lin = lineage or Lineage(spark, table.root, storage=table.io)
     done = cp.committed_batches()
     out: list[BatchRecord] = []
     for i, batch in enumerate(batches):

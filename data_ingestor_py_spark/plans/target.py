@@ -31,12 +31,17 @@ the merge shuffle is a hash partition on the key, AQE splits skewed
 partitions, and only touched buckets are read/written — a batch touching 3%%
 of keys reads ~3%% of the table, not all of it.
 
-Multi-writer commits are optimistic: O_EXCL creation of the per-version
-manifest file is the compare-and-swap; on object storage the same protocol
-maps 1:1 to a conditional PUT (S3 ``If-None-Match: *`` / GCS
-``ifGenerationMatch=0``) of the version object, with the main pointer
-updated last — i.e. Iceberg's catalog commit. Only this file's two
-commit/load primitives would change; the engine above them would not.
+Multi-writer commits are optimistic, expressed over a pluggable
+:class:`~data_ingestor_py_spark.storage.StorageAdapter`: claiming a version
+is ``put_if_absent`` of the per-version manifest object (locally an atomic
+hardlink publish; on S3/GCS a conditional PUT — ``If-None-Match: *`` /
+``ifGenerationMatch=0``), and the main pointer is a plain ``put``
+(last-writer-wins is fine: ``_load`` rolls a stale or even backwards
+pointer forward through the version tokens) — i.e. Iceberg's catalog
+commit. Swapping the deployment target means swapping ONLY the adapter;
+`tests/test_concurrency.py` runs the full multi-writer suite against both
+the POSIX and the conditional-PUT (object-store contract) adapters to pin
+that claim.
 """
 
 from __future__ import annotations
@@ -52,6 +57,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.operators.dedup import latest_by_key, salted_latest_by_key
+from data_ingestor_py_spark.storage import PosixStorage, StorageAdapter
 
 MANIFEST = "_manifest.json"
 TOMBSTONE_COLS = ("_op",)
@@ -79,14 +85,18 @@ class MergeStats:
     seq_max: int = 0
     discover_s: float = 0.0  # job 1: bucket discovery + stats
     merge_s: float = 0.0  # job 2: union-reduce + bucket rewrite
+    salt_used: int = 0  # reducers the hot keys were spread over (0 = none)
 
 
 class TargetTable:
     """A keyed, versioned, schema-evolving table of current row states."""
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self, spark: SparkSession, root: str, storage: StorageAdapter | None = None
+    ):
         self.spark = spark
         self.root = root
+        self.io = storage or PosixStorage()
 
     # ---------------- manifest ----------------
 
@@ -95,71 +105,55 @@ class TargetTable:
         return os.path.join(self.root, MANIFEST)
 
     def exists(self) -> bool:
-        return os.path.exists(self._manifest_path)
+        return self.io.exists(self._manifest_path)
 
     def _version_path(self, version: int) -> str:
         return os.path.join(self.root, "_versions", f"manifest-v{version:06d}.json")
 
     def _load(self) -> dict:
-        with open(self._manifest_path) as f:
-            m = json.load(f)
+        m = json.loads(self.io.get(self._manifest_path))
         # Roll forward a crashed commit: the CAS token (per-version manifest
-        # file) is written BEFORE the main-pointer swap, so if a committer
+        # object) is written BEFORE the main-pointer put, so if a committer
         # died in between, the token holds the complete committed manifest —
-        # promote it (data files were fully written before the token).
+        # promote it (data files were fully written before the token). This
+        # also repairs a pointer that raced BACKWARDS (two last-writer-wins
+        # pointer puts landing out of order on an object store).
         while True:
-            nxt = self._version_path(m["version"] + 1)
-            if not os.path.exists(nxt):
+            raw = self.io.get(self._version_path(m["version"] + 1))
+            if raw is None:
                 return m
             try:
-                with open(nxt) as f:
-                    m2 = json.load(f)
-            except (json.JSONDecodeError, OSError):
-                return m  # token still being written by a live committer
-            tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-            with open(tmp, "w") as f:
-                json.dump(m2, f, indent=1)
-            os.replace(tmp, self._manifest_path)
+                m2 = json.loads(raw)
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                # adapter tokens are all-or-nothing, so this is pre-seam
+                # garbage; commit-time reclaim_stale_token clears it
+                return m
+            self.io.put(self._manifest_path, json.dumps(m2, indent=1).encode())
             m = m2
 
     def _commit_manifest(self, m: dict) -> None:
         """Optimistic-concurrency commit (Iceberg's protocol in miniature):
 
-        1. CLAIM the snapshot version by O_EXCL-creating the per-version
-           manifest file — exactly one writer can create
+        1. CLAIM the snapshot version with ``put_if_absent`` of the
+           per-version manifest object — exactly one writer can create
            ``manifest-v{N}.json``; a loser gets :class:`CommitConflict` and
            must redo its work against the reloaded state.
-        2. Swap the main pointer with ``os.replace`` (atomic on POSIX).
+        2. ``put`` the main pointer (atomic full-object overwrite).
 
         A crash between 1 and 2 is repaired by :meth:`_load`'s roll-forward.
         The version files double as time-travel metadata."""
-        vdir = os.path.join(self.root, "_versions")
-        os.makedirs(vdir, exist_ok=True)
         vpath = self._version_path(m["version"])
-        payload = json.dumps(m, indent=1)
-        try:
-            fd = os.open(vpath, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        except FileExistsError:
-            # stale empty token from a writer that died mid-claim (>10s old,
-            # no content): clear it so the retry can claim the version
-            try:
-                st = os.stat(vpath)
-                if st.st_size == 0 and time.time() - st.st_mtime > 10:
-                    os.remove(vpath)
-            except OSError:
-                pass
+        payload = json.dumps(m, indent=1).encode()
+        if not self.io.put_if_absent(vpath, payload):
+            # give a wedged version number a chance to be reclaimed (a dead
+            # pre-seam writer's empty/partial token, grace-period guarded —
+            # adapter-written tokens are all-or-nothing and never qualify)
+            self.io.reclaim_stale_token(vpath)
             raise CommitConflict(
                 f"snapshot v{m['version']} was committed by another writer; "
                 "reload the manifest and retry"
-            ) from None
-        with os.fdopen(fd, "w") as f:
-            f.write(payload)
-            f.flush()
-            os.fsync(f.fileno())
-        tmp = self._manifest_path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            f.write(payload)
-        os.replace(tmp, self._manifest_path)  # atomic snapshot swap
+            )
+        self.io.put(self._manifest_path, payload)  # atomic snapshot swap
 
     @classmethod
     def create(
@@ -171,6 +165,7 @@ class TargetTable:
         num_buckets: int = 64,
         seq_col: str = "_seq",
         bucket_cols: list[str] | None = None,
+        storage: StorageAdapter | None = None,
     ) -> "TargetTable":
         """Create an empty table. ``columns`` = [(name, spark_type)] for the
         payload; engine columns (_seq, _op, _ts) are always present.
@@ -180,8 +175,8 @@ class TargetTable:
         bucket; ``["repo"]`` co-locates a repo's files so repo-local CDC
         batches read/rewrite only their repos' buckets (at the cost of
         bucket-size skew for hot repos — pick per workload)."""
-        os.makedirs(root, exist_ok=True)
-        t = cls(spark, root)
+        os.makedirs(root, exist_ok=True)  # data plane (Spark-written parquet)
+        t = cls(spark, root, storage)
         fields = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(columns)]
         m = {
             "format_version": 1,
@@ -314,9 +309,7 @@ class TargetTable:
     def read_version(self, version: int) -> DataFrame:
         """Time travel: visible rows as of snapshot ``version`` (works while
         the referenced snapshot dirs have not been expired)."""
-        p = os.path.join(self.root, "_versions", f"manifest-v{version:06d}.json")
-        with open(p) as f:
-            m = json.load(f)
+        m = json.loads(self.io.get(self._version_path(version)))
         return self._state_df(m).where(F.col("_op") != "D")
 
     # ---------------- merge-apply (M1/M2/M3/M9) ----------------
@@ -324,17 +317,28 @@ class TargetTable:
     def merge_apply(
         self,
         batch: DataFrame,
-        salt_buckets: int = 0,
+        salt_buckets: int | str = 0,
         stats: str = "full",
         max_commit_retries: int = 5,
+        auto_salt_min_rows: int = 100_000,
+        auto_salt_skew_ratio: float = 8.0,
     ) -> MergeStats:
         """Apply one micro-batch of change events. On a concurrent-writer
         commit conflict the whole merge is recomputed against the winner's
         snapshot and retried (losers' work is discarded, like Iceberg's
-        optimistic retry) up to ``max_commit_retries`` times."""
+        optimistic retry) up to ``max_commit_retries`` times.
+
+        ``salt_buckets`` may be ``"auto"``: the per-bucket event counts the
+        discovery job already collects decide per batch — if the hottest
+        touched bucket holds >= ``auto_salt_skew_ratio`` x the median AND at
+        least ``auto_salt_min_rows`` events, the hot keys are spread over
+        ``min(64, next_pow2(ratio))`` reducers; uniform batches pay nothing.
+        """
         for attempt in range(max_commit_retries + 1):
             try:
-                return self._merge_apply_once(batch, salt_buckets, stats)
+                return self._merge_apply_once(
+                    batch, salt_buckets, stats, auto_salt_min_rows, auto_salt_skew_ratio
+                )
             except CommitConflict:
                 if attempt == max_commit_retries:
                     raise
@@ -343,8 +347,10 @@ class TargetTable:
     def _merge_apply_once(
         self,
         batch: DataFrame,
-        salt_buckets: int = 0,
+        salt_buckets: int | str = 0,
         stats: str = "full",
+        auto_salt_min_rows: int = 100_000,
+        auto_salt_skew_ratio: float = 8.0,
     ) -> MergeStats:
         """Apply one micro-batch of change events.
 
@@ -375,37 +381,40 @@ class TargetTable:
 
         batch = batch.select(*[F.col(c) for c in cols])
 
-        # Job 1: touched buckets from the key columns only; rows_in / seq
-        # offsets observed on the same pruned scan. ``stats='full'`` also
-        # counts distinct keys per bucket (exact applied-row lineage);
-        # ``'light'`` only collects the distinct bucket ids (a shuffle of
-        # B ints) and takes per-bucket rows from the written parquet
-        # footers afterwards — the cheap path for high-rate replays.
+        # Job 1: touched buckets from the key + op columns only; rows_in /
+        # seq offsets observed on the same pruned scan. ``stats='full'``
+        # also counts distinct keys per bucket (exact applied-row lineage);
+        # ``'light'`` skips the distinct (the shuffle then carries <= B
+        # partially-aggregated rows per input partition) and takes
+        # per-bucket rows from the written parquet footers afterwards — the
+        # cheap path for high-rate replays. Both modes also collect
+        # per-bucket EVENT counts (drives auto-salting) and per-bucket
+        # DELETE counts (maintains the manifest's tombstone upper bounds
+        # that let purge_tombstones prune its scan).
         t_d0 = time.time()
         obs = Observation()
-        keys_only = batch.select(*key_cols, F.col(seq_col)).observe(
+        keys_only = batch.select(*key_cols, F.col(seq_col), F.col("_op")).observe(
             obs,
             F.count(F.lit(1)).alias("rows_in"),
             F.min(seq_col).alias("seq_min"),
             F.max(seq_col).alias("seq_max"),
         )
         bkts = keys_only.groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
+        aggs = [
+            F.count(F.lit(1)).alias("n_ev"),
+            F.sum((F.col("_op") == "D").cast("long")).alias("n_del"),
+        ]
         if stats == "full":
             # distinct over a STRUCT of the keys, not the bare columns:
             # count_distinct(a, b) drops tuples containing NULL, so NULL-key
             # groups would vanish from the lineage counts
-            per_bucket = {
-                r["bkt"]: r["n"]
-                for r in bkts.agg(
-                    F.count_distinct(F.struct(*[F.col(c) for c in key_cols])).alias("n")
-                ).collect()
-            }
-        else:
-            # events per bucket: plain count partial-aggregates map-side,
-            # so the shuffle carries <= B rows per input partition
-            per_bucket = {
-                r["bkt"]: r["n"] for r in bkts.agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            aggs.insert(
+                0, F.count_distinct(F.struct(*[F.col(c) for c in key_cols])).alias("n")
+            )
+        stat_rows = bkts.agg(*aggs).collect()
+        per_bucket = {r["bkt"]: (r["n"] if stats == "full" else r["n_ev"]) for r in stat_rows}
+        per_bucket_ev = {r["bkt"]: r["n_ev"] for r in stat_rows}
+        per_bucket_del = {r["bkt"]: int(r["n_del"] or 0) for r in stat_rows}
         touched = sorted(per_bucket)
         if not touched:
             # empty batch: Observation.get would assert (pyspark 4.1 edge —
@@ -417,6 +426,18 @@ class TargetTable:
         seq_max = int(ob["seq_max"] or 0)
         rows_dedup = sum(per_bucket.values()) if stats == "full" else -1
         t_d1 = time.time()
+
+        if salt_buckets == "auto":
+            # skew decision from the discovery stats this job just paid for:
+            # salt only when the hottest bucket is big enough in absolute
+            # terms for the window sort to matter AND far off the median
+            evs = sorted(per_bucket_ev.values())
+            hot, med = evs[-1], evs[len(evs) // 2]
+            ratio = hot / max(med, 1)
+            if hot >= auto_salt_min_rows and ratio >= auto_salt_skew_ratio:
+                salt_buckets = min(64, 1 << max(1, (int(ratio) - 1).bit_length()))
+            else:
+                salt_buckets = 0
 
         # Job 2: one-shot merge reduce + bucket rewrite, structured as a
         # single shuffle: hash-partition by bucket, sort each partition by
@@ -463,10 +484,18 @@ class TargetTable:
         merged.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
 
         for b in touched:
-            m["buckets"][str(b)] = {
-                "path": f"{rel}/bkt={b}",
-                "schema": m["current_schema"],
-            }
+            old_e = m["buckets"].get(str(b))
+            entry = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
+            # tombstone upper bound: carried + newly-arrived deletes. An
+            # upsert superseding an old tombstone makes the bound loose,
+            # never wrong; purge_tombstones tightens it to the exact count
+            # whenever it scans the bucket. Legacy entries without the stat
+            # stay unknown (purge treats unknown as a candidate).
+            if old_e is None:
+                entry["ts_ub"] = per_bucket_del.get(b, 0)
+            elif "ts_ub" in old_e:
+                entry["ts_ub"] = old_e["ts_ub"] + per_bucket_del.get(b, 0)
+            m["buckets"][str(b)] = entry
         m["version"] = new_v
         m["history"].append(
             {"at": time.time(), "snapshot": new_v, "op": "merge",
@@ -477,6 +506,7 @@ class TargetTable:
             rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()),
             seq_min, seq_max,
             discover_s=round(t_d1 - t_d0, 3), merge_s=round(time.time() - t_d1, 3),
+            salt_used=int(salt_buckets),
         )
 
     def bulk_load(self, df: DataFrame) -> MergeStats:
@@ -515,13 +545,31 @@ class TargetTable:
 
         Returns key cols + ``_change_type`` ('I'nsert / 'U'pdate /
         'D'elete) + the payload (new image for I/U, last old image for D).
-        NULL-safe on key columns (a NULL key is a real key here). The join
-        is keyed on the bucket-pruned snapshots, so at scale it shuffles
-        only the two states' rows, never the history."""
-        m = self._load()
-        key_cols = m["key_cols"]
-        old = self.read_version(v_old)
-        new = self.read_version(v_new)
+        NULL-safe on key columns (a NULL key is a real key here).
+
+        Manifest-pruned: bucket data files are immutable (copy-on-write,
+        writer-unique paths), so a bucket whose manifest ``path`` entry is
+        identical in both versions CANNOT differ — only buckets with
+        differing entries are read on either side. At 100 TB with a
+        3%%-touched batch window this reads ~2x3%% of the table instead of
+        2x100%%. (A partition-spec rewrite between the versions invalidates
+        bucket-id comparison; the diff then falls back to the full scan.)"""
+        m_old = json.loads(self.io.get(self._version_path(v_old)))
+        m_new = json.loads(self.io.get(self._version_path(v_new)))
+        key_cols = m_new["key_cols"]
+        bucket_ids = None
+        if (
+            m_old["num_buckets"] == m_new["num_buckets"]
+            and m_old.get("bucket_cols") == m_new.get("bucket_cols")
+        ):
+            bo, bn = m_old["buckets"], m_new["buckets"]
+            bucket_ids = sorted(
+                int(b)
+                for b in set(bo) | set(bn)
+                if bo.get(b, {}).get("path") != bn.get(b, {}).get("path")
+            )
+        old = self._state_df(m_old, bucket_ids).where(F.col("_op") != "D")
+        new = self._state_df(m_new, bucket_ids).where(F.col("_op") != "D")
         payload = [c for c in new.columns if c not in key_cols]
         o = old.select(
             *[F.col(c).alias(f"_ko_{c}") for c in key_cols],
@@ -623,30 +671,50 @@ class TargetTable:
         Returns the number of tombstones removed.
 
         Two pruned passes, mirroring :meth:`merge_apply`'s shape: (1) a
-        column-pruned scan of (_op, seq, bucket cols) finds WHICH buckets
-        hold eligible tombstones and counts them; (2) only those buckets are
-        read in full and rewritten — untouched buckets keep their existing
-        snapshot files by reference (at 100 TB a purge touches the
-        delete-bearing slice of the table, never all of it)."""
+        column-pruned scan of (_op, seq, bucket cols) over ONLY the buckets
+        whose manifest tombstone upper bound is nonzero (merge commits
+        maintain the bound; unknown = legacy entry = still scanned) finds
+        WHICH of them hold eligible tombstones and counts them; (2) only
+        those buckets are read in full and rewritten — untouched buckets
+        keep their existing snapshot files by reference (at 100 TB a purge
+        touches the delete-bearing slice of the table, never all of it).
+        Pass 1 also recounts each scanned bucket's TOTAL tombstones, so the
+        rewritten entries' bounds become exact and the next purge prunes
+        even harder."""
         m = self._load()
         key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
         bucket_cols = m.get("bucket_cols", key_cols)
         cols = self.current_columns(m)
         eligible = (F.col("_op") == "D") & (F.col(seq_col) < older_than_seq)
-        # pass 1: bucket discovery on pruned columns only
-        per_bucket = {
-            r["bkt"]: r["n"]
-            for r in (
-                self._state_df(m)
-                .select(*bucket_cols, seq_col, "_op")
-                .where(eligible)
-                .groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
-                .agg(F.count(F.lit(1)).alias("n"))
-                .collect()
+        candidates = sorted(
+            int(b) for b, info in m["buckets"].items() if info.get("ts_ub", 1) != 0
+        )
+        if not candidates:
+            return 0
+        # pass 1: bucket discovery on pruned columns of candidate buckets
+        stat_rows = (
+            self._state_df(m, candidates)
+            .select(*bucket_cols, seq_col, "_op")
+            .where(F.col("_op") == "D")
+            .groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
+            .agg(
+                F.sum(eligible.cast("long")).alias("n"),
+                F.count(F.lit(1)).alias("total_d"),
             )
-        }
+            .collect()
+        )
+        per_bucket = {r["bkt"]: int(r["n"] or 0) for r in stat_rows}
+        total_d = {r["bkt"]: int(r["total_d"]) for r in stat_rows}
+        # tighten bounds for every scanned bucket (exact counts now known);
+        # scanned candidates with zero tombstones drop to 0 outright
+        for b in candidates:
+            if str(b) in m["buckets"]:
+                m["buckets"][str(b)]["ts_ub"] = total_d.get(b, 0)
+        per_bucket = {b: n for b, n in per_bucket.items() if n > 0}
         n_purged = sum(per_bucket.values())
         if n_purged == 0:
+            # nothing eligible: skip the commit (the tightened bounds are a
+            # missed optimization, not state — the next purge recomputes)
             return 0
         touched = sorted(per_bucket)
         # pass 2: rewrite only tombstone-bearing buckets
@@ -661,7 +729,12 @@ class TargetTable:
         }
         for b in touched:
             if b in written:
-                m["buckets"][str(b)] = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
+                m["buckets"][str(b)] = {
+                    "path": f"{rel}/bkt={b}",
+                    "schema": m["current_schema"],
+                    # exact: total tombstones seen minus the ones purged
+                    "ts_ub": total_d.get(b, 0) - per_bucket[b],
+                }
             else:
                 # bucket emptied entirely by the purge
                 m["buckets"].pop(str(b), None)
@@ -679,7 +752,7 @@ class TargetTable:
         batches, error count, timing stats."""
         from data_ingestor_py_spark.plans.checkpoint import Checkpoint
 
-        rows = Checkpoint(self.spark, self.root).read().collect()
+        rows = Checkpoint(self.spark, self.root, storage=self.io).read().collect()
         # dedupe by (batch_id, status): a crash inside checkpoint compaction
         # can leave both the compacted file and the originals on disk —
         # duplicate rows are byte-identical, so keep one per batch

@@ -75,8 +75,8 @@ def stream_replay(
             list(dedup_id_cols)
         )
 
-    cp = Checkpoint(spark, table.root)
-    lin = Lineage(spark, table.root)
+    cp = Checkpoint(spark, table.root, storage=table.io)
+    lin = Lineage(spark, table.root, storage=table.io)
     # Restart hygiene (mirrors plans/replay.py's committed-batch skip): if
     # Spark re-delivers an epoch after a crash between OUR checkpoint write
     # and SPARK's offset commit, the merge would be harmless (idempotent)

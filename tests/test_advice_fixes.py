@@ -193,7 +193,13 @@ def test_compaction_crash_duplicates_do_not_double_count(spark, tmp_path):
     assert cp.committed_batches() == {0, 1}
 
 
-def test_compaction_leaves_no_tmp_and_survives_orphan(spark, tmp_path):
+def test_compaction_staging_sweep_is_grace_period_guarded(spark, tmp_path):
+    """r2 advisory (low): the staging-orphan sweep must only remove files
+    older than the grace period — an unconditional sweep would delete a
+    LIVE concurrent compactor's in-flight staging file. Old orphans go,
+    fresh ones stay, and neither is ever read as data."""
+    import time
+
     from data_ingestor_py_spark.plans.checkpoint import Checkpoint
     from data_ingestor_py_spark.plans.replay import replay, split_batches
     from data_ingestor_py_spark.sources.generator import change_events
@@ -202,13 +208,51 @@ def test_compaction_leaves_no_tmp_and_survives_orphan(spark, tmp_path):
     ev = change_events(spark, 300, n_repos=5, paths_per_repo=5, seed=2)
     replay(t, split_batches(ev, 3), prepare=lambda df, i: _prep(df))
     cp = Checkpoint(spark, t.root)
-    # orphan tmp from a hypothetical earlier crash must be cleaned, not read
-    with open(os.path.join(cp.dir, "compact-deadbeef.tmp"), "wb") as f:
-        f.write(b"garbage")
+    old_orphan = os.path.join(cp.dir, "part-dead.parquet.tmp-cafe")
+    fresh_orphan = os.path.join(cp.dir, "part-beef.parquet.tmp-f00d")
+    for p in (old_orphan, fresh_orphan):
+        with open(p, "wb") as f:
+            f.write(b"garbage")
+    stale = time.time() - 60
+    os.utime(old_orphan, (stale, stale))
     n = cp.compact()
     assert n == 3
-    assert not any(f.endswith(".tmp") for f in os.listdir(cp.dir))
+    assert not os.path.exists(old_orphan)  # crashed writer's orphan swept
+    assert os.path.exists(fresh_orphan)  # possibly-live writer left alone
     assert cp.committed_batches() == {0, 1, 2}
+
+
+def test_concurrent_compactions_lose_no_rows(spark, tmp_path):
+    """Two compactors racing (r2 advisory scenario): idempotent deletes and
+    atomic puts mean both runs succeed, and the logical table (deduped
+    reads) is unchanged whatever the interleaving."""
+    from data_ingestor_py_spark.plans.checkpoint import Checkpoint
+    from data_ingestor_py_spark.plans.replay import replay, split_batches
+    from data_ingestor_py_spark.sources.generator import change_events
+
+    t = make_table(spark, tmp_path / "t")
+    ev = change_events(spark, 300, n_repos=5, paths_per_repo=5, seed=2)
+    replay(t, split_batches(ev, 3), prepare=lambda df, i: _prep(df))
+    cp1 = Checkpoint(spark, t.root)
+    cp2 = Checkpoint(spark, t.root)
+    import threading
+
+    errs = []
+
+    def run(c):
+        try:
+            c.compact()
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    ths = [threading.Thread(target=run, args=(c,)) for c in (cp1, cp2)]
+    for th in ths:
+        th.start()
+    for th in ths:
+        th.join()
+    assert not errs, errs
+    assert cp1.committed_batches() == {0, 1, 2}
+    assert cp1.read().count() == 3  # duplicates (if any) dedupe away
 
 
 # ---------------------------------------------------------------- 5. watermark
