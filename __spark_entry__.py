@@ -407,6 +407,30 @@ def q_train_val_test_split(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing (LLM batch prep): docs laid out in
+    deterministic hash order per shard, cut into 64-token packs; per-shard
+    running sums, no global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.pack_sequences(docs, budget_tokens=64, shards=8)
+
+
+def q_stratified_sample_langs(spark, sf_dir):
+    """Deterministic fixed-size per-language sample: the 20 smallest salted
+    hashes per lang (distributed reservoir replacement; WindowGroupLimit
+    keeps the pre-shuffle prune)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.stratified_sample_fixed(docs, strata_col="lang", k=20)
+
+
+def q_strip_boilerplate_highdf(spark, sf_dir):
+    """Corpus-level boilerplate strip: remove tokens whose document
+    frequency exceeds 75% of the corpus, preserving token order; the
+    high-df set is broadcast, the rebuild shuffle-free."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.remove_high_df_tokens(docs, max_df=0.75)
+
+
 def q_vocab_top100(spark, sf_dir):
     """Vocabulary building: top-100 whitespace tokens by (count desc, token
     asc) with dense 0-based ids."""
@@ -793,6 +817,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_join_event_bursts": q_range_join_event_bursts,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "train_val_test_split": q_train_val_test_split,
+        "pack_sequences": q_pack_sequences,
+        "stratified_sample_langs": q_stratified_sample_langs,
+        "strip_boilerplate_highdf": q_strip_boilerplate_highdf,
         "vocab_top100": q_vocab_top100,
         "rollup_pricing": q_rollup_pricing,
         "pivot_events_by_type": q_pivot_events_by_type,
@@ -1338,6 +1365,37 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) "
             "SELECT doc_id, lang, CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' "
             "ELSE 'test' END AS split FROM h"
+        ),
+        "pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            f"len({TOKS_SQL}) AS n_tokens, "
+            "('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "% 2147483647 AS h FROM documents), "
+            "s AS (SELECT doc_id, n_tokens, h % 8 AS shard, "
+            "SUM(n_tokens) OVER (PARTITION BY h % 8 ORDER BY h, doc_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start "
+            "FROM t) "
+            "SELECT doc_id, shard, shard * 4294967296 + start // 64 AS pack_id, "
+            "start % 64 AS offset_in_pack, n_tokens FROM s"
+        ),
+        "stratified_sample_langs": (
+            "SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY ('0x' || substr(sha256('42:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT "
+            "% 2147483647, doc_id) AS INT) AS \"rank\" "
+            "FROM documents QUALIFY \"rank\" <= 20"
+        ),
+        "strip_boilerplate_highdf": (
+            "WITH nd AS (SELECT count(*) AS n FROM documents), "
+            "dfreq AS (SELECT token, count(*) AS dfn FROM "
+            f"(SELECT doc_id, unnest(list_distinct({TOKS_SQL})) AS token FROM documents) "
+            "GROUP BY token), "
+            "high AS (SELECT coalesce(list(token), CAST([] AS VARCHAR[])) AS hl "
+            "FROM dfreq, nd WHERE dfn > 0.75 * n) "
+            f"SELECT doc_id, coalesce(array_to_string(list_filter({TOKS_SQL}, "
+            "t -> NOT list_contains(hl, t)), ' '), '') AS clean_text, "
+            f"len({TOKS_SQL}) - len(list_filter({TOKS_SQL}, "
+            "t -> NOT list_contains(hl, t))) AS n_removed "
+            "FROM documents, high"
         ),
         "vocab_top100": (
             f"SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT) AS token_id, cnt "

@@ -44,6 +44,8 @@ HEADLINE = [
     "excel_roundtrip_scan",  # added r2
     "asof_join_purchase_value",  # added r2
     "range_join_event_bursts",  # added r2
+    "cdc_changes_between",  # added r3: manifest-pruned changelog diff
+    "neardup_clusters",  # added r3: connected components w/ pointer jumping
 ]
 
 

@@ -158,3 +158,133 @@ def build_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> Data
         top.withColumn("token_id", F.row_number().over(w) - 1)
         .select("token", "token_id", "cnt")
     )
+
+
+def _sha_bucket(c: Column, mod: int, seed: int = 42) -> Column:
+    """Engine-portable hash bucket: int(sha256(f"{seed}:{v}")[:8], 16) % mod
+    (DuckDB twin: ('0x'||substr(sha256('{seed}:'||v),1,8))::BIGINT % mod)."""
+    h = F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), c.cast("string")), 256), 1, 8),
+        16, 10,
+    ).cast("long")
+    return h % mod
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 256,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    shards: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Concat-then-chunk sequence packing (LLM pretraining batch prep):
+    documents are laid out in a deterministic hash order and cut into
+    fixed-token-budget packs; each document is assigned to the pack where
+    its first token lands.
+
+    Scale shape: packing is per-SHARD (hash of the doc id), so each shard's
+    running token sum is an independent window partition — 100 TB packs as
+    `shards` parallel streams with one shuffle, no global sort, and the
+    layout is content-stable (reshuffling input splits never moves a doc
+    between packs). Returns (id, shard, pack_id, offset_in_pack, n_tokens);
+    pack_id is globally unique (shard * 2^32 + shard-local pack)."""
+    from pyspark.sql import Window
+
+    c = F.col(id_col)
+    h = _sha_bucket(c, HASH_MOD, seed)
+    out = df.select(
+        c.alias(id_col),
+        F.size(tokens(text_col)).alias("n_tokens"),
+        (h % shards).alias("shard"),
+        h.alias("_h"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("_h", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum("n_tokens").over(w) - F.col("n_tokens")
+    return out.select(
+        id_col,
+        "shard",
+        (F.col("shard").cast("long") * F.lit(2**32)
+         + F.floor(start / budget_tokens)).alias("pack_id"),
+        (start % budget_tokens).cast("long").alias("offset_in_pack"),
+        "n_tokens",
+    )
+
+
+def stratified_sample_fixed(
+    df: DataFrame,
+    strata_col: str = "lang",
+    k: int = 50,
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: the k ids with the
+    smallest salted hash within each stratum. Content-stable (a given doc
+    is in or out regardless of how the data is split/ordered) and exactly
+    reproducible in SQL — the distributed replacement for reservoir
+    sampling, and the row_number window keeps WindowGroupLimit pushdown
+    (each map task pre-prunes to k rows per stratum before the shuffle)."""
+    from pyspark.sql import Window
+
+    h = _sha_bucket(F.col(id_col), HASH_MOD, seed)
+    w = Window.partitionBy(strata_col).orderBy(h.alias("_h"), F.col(id_col))
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def stratified_sample_rate(
+    df: DataFrame,
+    rate: float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic rate sample, salted per stratum so strata are sampled
+    independently: keep iff hash(seed:stratum:id) % 10000 < rate*10000.
+    Pure filter — no shuffle at all."""
+    key = F.concat(F.col(strata_col).cast("string"), F.lit(":"),
+                   F.col(id_col).cast("string"))
+    return df.where(_sha_bucket(key, 10_000, seed) < int(rate * 10_000))
+
+
+def remove_high_df_tokens(
+    df: DataFrame,
+    max_df: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate strip: drop tokens whose DOCUMENT frequency
+    exceeds ``max_df`` of the corpus (navigation chrome, license headers,
+    template words), preserving each document's remaining token order.
+
+    Two distributed passes: (1) document-frequency count (explode DISTINCT
+    tokens per doc -> groupBy token), (2) rebuild each text with the
+    high-df set removed — the set is broadcast (it is small by definition:
+    tokens in >max_df of docs are few) and the rebuild is a per-row filter,
+    so pass 2 is shuffle-free. Returns (id, clean_text, n_removed)."""
+    n_docs = df.count()  # scalar, driver-side (metadata-scale)
+    docfreq = (
+        df.select(F.explode(F.array_distinct(tokens(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > max_df * n_docs)
+        .select("token")
+    )
+    high = F.broadcast(docfreq).select(F.collect_set("token").alias("_high"))
+    toks = tokens(text_col)
+    kept = F.filter(toks, lambda t: ~F.array_contains(F.col("_high"), t))
+    return (
+        df.crossJoin(high)  # 1-row broadcast: the high-df token set
+        .select(
+            id_col,
+            F.concat_ws(" ", kept).alias("clean_text"),
+            (F.size(toks) - F.size(kept)).alias("n_removed"),
+        )
+    )

@@ -12,6 +12,7 @@ crash-between-commit-and-checkpoint window.
 
 from __future__ import annotations
 
+import os
 import time
 from collections.abc import Callable
 
@@ -19,6 +20,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint, Lineage
+from data_ingestor_py_spark.plans.fallback_log import FallbackLogger
 from data_ingestor_py_spark.plans.target import TargetTable
 
 
@@ -43,16 +45,27 @@ def replay(
     checksum: bool = False,
     stats: str = "full",
     expire_keep: int = 0,
+    fallback: "FallbackLogger | None" = None,
 ) -> list[BatchRecord]:
     """Replay a list of event micro-batches into ``table``.
 
     ``prepare(df, batch_id)`` maps raw events to the table's columns (the
     mapping-spec stage); ``on_batch_start`` is the schema-evolution hook.
     Returns the per-batch records that were committed this run.
+
+    Checkpoint/lineage writes are guarded by the L2 fallback logger
+    (reference: logger/sqllogger.py:191-213): if the metadata store fails
+    AFTER the snapshot committed, the batch record goes to a rotating
+    local JSON file and the replay continues — on resume the unrecorded
+    batch re-applies idempotently, so nothing is lost either way.
     """
     spark = table.spark
     cp = checkpoint or Checkpoint(spark, table.root, storage=table.io)
     lin = lineage or Lineage(spark, table.root, storage=table.io)
+    fb = fallback or FallbackLogger(
+        os.path.join(table.root, "_fallback_logs.json"),
+        context={"table": table.root},
+    )
     done = cp.committed_batches()
     out: list[BatchRecord] = []
     for i, batch in enumerate(batches):
@@ -81,7 +94,18 @@ def replay(
             committed_at=t1,
             duration_s=t1 - t0,
         )
-        cp.commit(rec)
-        lin.append(i, st.bucket_rows)
+        try:
+            cp.commit(rec)
+            lin.append(i, st.bucket_rows)
+        except Exception as e:  # metadata store down — L2 fallback path
+            from dataclasses import asdict
+
+            fb.log(
+                "CHECKPOINT_WRITE_FAILED",
+                str(e),
+                batch_id=i,
+                record=asdict(rec),
+                bucket_rows=st.bucket_rows,
+            )
         out.append(rec)
     return out

@@ -85,11 +85,15 @@ def build_staging_upsert(
     all_cols = key_cols + non_key
     col_list = ", ".join(_q(c) for c in all_cols)
     keys = ", ".join(_q(k) for k in key_cols)
-    if dialect in ("postgres", "duckdb"):
+    if dialect in ("postgres", "duckdb", "sqlite"):
         sets = ", ".join(f"{_q(c)} = excluded.{_q(c)}" for c in non_key)
+        # sqlite requires a WHERE on a SELECT source feeding an upsert
+        # (grammar ambiguity between join-ON and conflict-ON); harmless
+        # elsewhere but kept dialect-scoped to preserve reference parity
+        src_where = " WHERE true" if dialect == "sqlite" else ""
         return (
             f"INSERT INTO {table} ({col_list}) "
-            f"SELECT {col_list} FROM {staging} "
+            f"SELECT {col_list} FROM {staging}{src_where} "
             f"ON CONFLICT ({keys}) DO UPDATE SET {sets} "
             f"WHERE excluded.{_q(seq_col)} > {table}.{_q(seq_col)}"
         )
@@ -107,23 +111,38 @@ def build_staging_upsert(
 
 
 class SqlUpsertSink:
-    """CDC sink into an in-process DuckDB database (the container's real SQL
-    engine); the identical statements run against Postgres via a JDBC
-    staging write — see module docstring."""
+    """CDC sink into an in-process SQL database; the identical statements
+    run against Postgres via a JDBC staging write — see module docstring.
+
+    Two integration-tested dialects prove the builders are not shaped
+    around one engine:
+
+    - ``duckdb`` (default): the container's real columnar SQL engine;
+      staging is ingested zero-copy from the executor-written parquet
+      (``read_parquet``) — the same division of labor as production
+      ``df.write.jdbc``.
+    - ``sqlite``: the stdlib row-store; its upsert grammar
+      (``ON CONFLICT .. DO UPDATE .. WHERE``) is the same family as
+      Postgres. SQLite cannot read parquet, so the test harness transports
+      the staged rows with batched ``executemany`` — a jar-free stand-in
+      for the JDBC staging write that still proves STATEMENT portability;
+      row transport is not the semantics under test."""
 
     def __init__(
         self,
-        con,  # duckdb.DuckDBPyConnection
+        con,  # duckdb.DuckDBPyConnection | sqlite3.Connection
         table: str,
         key_cols: list[str],
         payload: list[tuple[str, str]],
         seq_col: str = "_seq",
+        dialect: str = "duckdb",
     ):
         self.con = con
         self.table = table
         self.key_cols = key_cols
         self.payload = payload
         self.seq_col = seq_col
+        self.dialect = dialect
         con.execute(build_create_table(table, key_cols, payload))
 
     def apply_batch(self, batch: DataFrame) -> int:
@@ -149,25 +168,63 @@ class SqlUpsertSink:
             if not glob.glob(f"{stage_dir}/*.parquet"):
                 return 0  # empty batch: Spark may emit no part files at all
             staging = f"_staging_{self.table}"
-            col_list = ", ".join(f'"{c.lower()}"' for c in cols)
-            self.con.execute(
-                f"CREATE OR REPLACE TEMP VIEW {staging} AS "
-                f"SELECT {col_list} FROM read_parquet('{stage_dir}/*.parquet')"
-            )
+            if self.dialect == "sqlite":
+                n = self._stage_sqlite(staging, stage_dir, cols)
+            else:
+                n = self._stage_duckdb(staging, stage_dir, cols)
             try:
-                n = self.con.execute(f"SELECT count(*) FROM {staging}").fetchone()[0]
                 if n:
                     self.con.execute(
                         build_staging_upsert(
                             self.table, staging, self.key_cols,
-                            [n_ for n_, _ in self.payload], self.seq_col, dialect="duckdb",
+                            [n_ for n_, _ in self.payload], self.seq_col,
+                            dialect=self.dialect,
                         )
                     )
+                    if self.dialect == "sqlite":
+                        self.con.commit()
             finally:
-                self.con.execute(f"DROP VIEW IF EXISTS {staging}")
+                kind = "TABLE" if self.dialect == "sqlite" else "VIEW"
+                self.con.execute(f"DROP {kind} IF EXISTS {staging}")
             return int(n)
         finally:
             shutil.rmtree(stage_dir, ignore_errors=True)
+
+    def _stage_duckdb(self, staging: str, stage_dir: str, cols: list[str]) -> int:
+        col_list = ", ".join(_q(c) for c in cols)
+        self.con.execute(
+            f"CREATE OR REPLACE TEMP VIEW {staging} AS "
+            f"SELECT {col_list} FROM read_parquet('{stage_dir}/*.parquet')"
+        )
+        return self.con.execute(f"SELECT count(*) FROM {staging}").fetchone()[0]
+
+    def _stage_sqlite(self, staging: str, stage_dir: str, cols: list[str]) -> int:
+        """Batched-insert staging (the execute_values shape of the
+        reference's psycopg2 path, db/connection_manager.py:55-89) — see
+        class docstring for why transport differs from the duckdb path."""
+        import datetime
+
+        import pyarrow.dataset as pads
+
+        rows = pads.dataset(stage_dir, format="parquet").to_table().to_pylist()
+        types = dict(
+            [(k, "VARCHAR") for k in self.key_cols] + self.payload + ENGINE_COLS
+        )
+        self.con.execute(f"DROP TABLE IF EXISTS {staging}")
+        self.con.execute(
+            f"CREATE TEMP TABLE {staging} "
+            f"({', '.join(f'{_q(c)} {types[c]}' for c in cols)})"
+        )
+
+        def bind(v):
+            return v.isoformat(sep=" ") if isinstance(v, datetime.datetime) else v
+
+        self.con.executemany(
+            f"INSERT INTO {staging} ({', '.join(_q(c) for c in cols)}) "
+            f"VALUES ({', '.join('?' for _ in cols)})",
+            [[bind(r[c]) for c in cols] for r in rows],
+        )
+        return len(rows)
 
     def foreach_batch(self):
         """Adapter for ``writeStream.foreachBatch`` (streaming CDC tail into
@@ -175,5 +232,7 @@ class SqlUpsertSink:
         return lambda df, epoch_id: self.apply_batch(df)
 
     def visible(self):
-        """Current rows (tombstones filtered) as a DuckDB relation."""
-        return self.con.sql(f"SELECT * FROM {self.table} WHERE \"_op\" <> 'D'")
+        """Current rows (tombstones filtered); works on both engines
+        (duckdb connections and sqlite cursors both expose
+        ``fetchall``/``description`` after ``execute``)."""
+        return self.con.execute(f"SELECT * FROM {self.table} WHERE \"_op\" <> 'D'")

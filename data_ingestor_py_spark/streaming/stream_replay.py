@@ -20,6 +20,7 @@ processor.py:10-66). The Spark-native equivalent is a file-source
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -75,8 +76,14 @@ def stream_replay(
             list(dedup_id_cols)
         )
 
+    from data_ingestor_py_spark.plans.fallback_log import FallbackLogger
+
     cp = Checkpoint(spark, table.root, storage=table.io)
     lin = Lineage(spark, table.root, storage=table.io)
+    fb = FallbackLogger(
+        os.path.join(table.root, "_fallback_logs.json"),
+        context={"table": table.root},
+    )
     # Restart hygiene (mirrors plans/replay.py's committed-batch skip): if
     # Spark re-delivers an epoch after a crash between OUR checkpoint write
     # and SPARK's offset commit, the merge would be harmless (idempotent)
@@ -104,23 +111,28 @@ def stream_replay(
         batch = prepare(df, epoch_id) if prepare is not None else df
         st = table.merge_apply(batch, salt_buckets=salt_buckets, stats=stats)
         t1 = time.time()
-        cp.commit(
-            BatchRecord(
-                batch_id=epoch_id,
-                src_offset_start=st.seq_min,
-                src_offset_end=st.seq_max,
-                rows_in=st.rows_in,
-                rows_applied=st.rows_after_dedup,
-                touched_buckets=st.touched_buckets,
-                snapshot_version=st.snapshot_version,
-                checksum=stream_ident,
-                status="COMMITTED",
-                started_at=t0,
-                committed_at=t1,
-                duration_s=t1 - t0,
-            )
+        rec = BatchRecord(
+            batch_id=epoch_id,
+            src_offset_start=st.seq_min,
+            src_offset_end=st.seq_max,
+            rows_in=st.rows_in,
+            rows_applied=st.rows_after_dedup,
+            touched_buckets=st.touched_buckets,
+            snapshot_version=st.snapshot_version,
+            checksum=stream_ident,
+            status="COMMITTED",
+            started_at=t0,
+            committed_at=t1,
+            duration_s=t1 - t0,
         )
-        lin.append(epoch_id, st.bucket_rows)
+        try:
+            cp.commit(rec)
+            lin.append(epoch_id, st.bucket_rows)
+        except Exception as e:  # metadata store down — L2 fallback path
+            from dataclasses import asdict
+
+            fb.log("CHECKPOINT_WRITE_FAILED", str(e), batch_id=epoch_id,
+                   record=asdict(rec), bucket_rows=st.bucket_rows)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     if checkpoint_dir:

@@ -174,3 +174,62 @@ def test_connected_components_chains_and_singletons(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(verts, edges).collect()}
     assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 5, 6: 5, 7: 7, 8: 8, 9: 9}
+
+
+def test_pack_sequences_invariants(spark, sf_dir):
+    from data_ingestor_py_spark.functions.text import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pack_sequences(docs, budget_tokens=64, shards=8)
+    rows = out.collect()
+    assert len(rows) == docs.count()  # every doc assigned exactly once
+    for r in rows:
+        assert 0 <= r["offset_in_pack"] < 64  # start offset inside budget
+        assert r["pack_id"] // 2**32 == r["shard"]  # globally unique ids
+    # content-stable: input partitioning must not move docs between packs
+    re_pack = pack_sequences(docs.repartition(7), budget_tokens=64, shards=8)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, re_pack.collect()))
+
+
+def test_stratified_sample_fixed_determinism(spark, sf_dir):
+    from data_ingestor_py_spark.functions.text import stratified_sample_fixed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = stratified_sample_fixed(docs, k=10).collect()
+    b = stratified_sample_fixed(docs.repartition(5), k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    per_lang = {}
+    for r in a:
+        per_lang.setdefault(r["lang"], 0)
+        per_lang[r["lang"]] += 1
+    assert all(v == 10 for v in per_lang.values())
+
+
+def test_stratified_sample_rate_is_a_pure_filter(spark, sf_dir):
+    from data_ingestor_py_spark.functions.text import stratified_sample_rate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample_rate(docs, rate=0.3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # no shuffle at all
+    n, total = out.count(), docs.count()
+    assert 0.15 * total < n < 0.45 * total  # ~rate, deterministic
+
+
+def test_remove_high_df_tokens_preserves_order(spark, sf_dir):
+    from data_ingestor_py_spark.functions.text import remove_high_df_tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = remove_high_df_tokens(docs, max_df=0.75)
+    joined = out.join(docs, "doc_id").collect()
+    assert len(joined) == docs.count()
+    removed_any = False
+    for r in joined:
+        orig = [t for t in r["text"].split(" ") if t]
+        kept = [t for t in r["clean_text"].split(" ") if t]
+        assert len(orig) - len(kept) == r["n_removed"]
+        removed_any |= r["n_removed"] > 0
+        # kept tokens appear in original order (subsequence check)
+        it = iter(orig)
+        assert all(t in it for t in kept)
+    assert removed_any  # the word-soup corpus has high-df tokens

@@ -1,7 +1,13 @@
-"""Warehouse sink (SqlUpsertSink): integration-tested against DuckDB — a
-real SQL engine — with the same CDC semantics suite as TargetTable
-(upsert/delete/late-event/idempotency), plus reference-parity checks on the
-generated statements (db/postgres_query_builder.py:16-45)."""
+"""Warehouse sink (SqlUpsertSink): integration-tested against TWO real SQL
+engines — DuckDB (columnar, parquet-staged like the production JDBC path)
+and stdlib sqlite3 (row-store, executemany-staged) — with the same CDC
+semantics suite as TargetTable (upsert/delete/late-event/idempotency),
+plus reference-parity checks on the generated statements
+(db/postgres_query_builder.py:16-45). Running the one builder family
+against two unrelated engines pins that the statements are not shaped
+around either."""
+
+import sqlite3
 
 import duckdb
 import pytest
@@ -22,10 +28,19 @@ PAYLOAD = [("commit", "VARCHAR"), ("lang", "VARCHAR"), ("content", "VARCHAR"),
            ("_content_sha256", "VARCHAR")]
 
 
-@pytest.fixture()
-def sink():
-    con = duckdb.connect()
-    yield SqlUpsertSink(con, "repo_files", ["repo", "path"], PAYLOAD)
+def _connect(dialect):
+    if dialect == "sqlite":
+        # check_same_thread=False: foreachBatch callbacks arrive on the
+        # streaming microbatch thread
+        return sqlite3.connect(":memory:", check_same_thread=False)
+    return duckdb.connect()
+
+
+@pytest.fixture(params=["duckdb", "sqlite"])
+def sink(request):
+    con = _connect(request.param)
+    yield SqlUpsertSink(con, "repo_files", ["repo", "path"], PAYLOAD,
+                        dialect=request.param)
     con.close()
 
 
@@ -61,18 +76,16 @@ def test_late_event_loses_and_tombstone_blocks(spark, sink):
 def test_reapply_batch_is_idempotent(spark, sink):
     ev = _prep(change_events(spark, 400, n_repos=10, paths_per_repo=5, seed=5))
     sink.apply_batch(ev)
-    before = sorted(sink.con.sql("SELECT * FROM repo_files").fetchall())
+    before = sorted(sink.con.execute("SELECT * FROM repo_files").fetchall())
     sink.apply_batch(ev)  # exactly-once under at-least-once delivery
-    assert sorted(sink.con.sql("SELECT * FROM repo_files").fetchall()) == before
+    assert sorted(sink.con.execute("SELECT * FROM repo_files").fetchall()) == before
 
 
-def test_sink_state_matches_lake_merge(spark, tmp_path):
+def test_sink_state_matches_lake_merge(spark, tmp_path, sink):
     """The warehouse sink and the lake TargetTable must agree on the final
     visible state for the same out-of-order batched replay."""
     from data_ingestor_py_spark.plans.replay import split_batches
 
-    con = duckdb.connect()
-    sink = SqlUpsertSink(con, "repo_files", ["repo", "path"], PAYLOAD)
     t = make_table(spark, tmp_path / "t")
     ev = change_events(spark, 1500, n_repos=15, paths_per_repo=8, seed=12,
                        delete_rate=0.2)
@@ -88,7 +101,6 @@ def test_sink_state_matches_lake_merge(spark, tmp_path):
         d = dict(zip(cols, row))
         wh[(d["repo"], d["path"])] = (d["content"], d["_seq"])
     assert lake == wh
-    con.close()
 
 
 def test_streaming_foreach_batch_adapter(spark, tmp_path, sink):
@@ -104,7 +116,7 @@ def test_streaming_foreach_batch_adapter(spark, tmp_path, sink):
         .start()
     )
     q.awaitTermination(120)
-    n = sink.con.sql("SELECT count(*) FROM repo_files").fetchone()[0]
+    n = sink.con.execute("SELECT count(*) FROM repo_files").fetchone()[0]
     assert n == ev.select("repo", "path").distinct().count()
 
 
@@ -127,6 +139,8 @@ def test_update_query_reference_parity():
 def test_staging_upsert_shapes():
     pg = build_staging_upsert("t", "s", ["repo"], ["content"], dialect="postgres")
     assert "ON CONFLICT" in pg and 'excluded."_seq" > t."_seq"' in pg
+    sq = build_staging_upsert("t", "s", ["repo"], ["content"], dialect="sqlite")
+    assert "WHERE true ON CONFLICT" in sq and 'excluded."_seq" > t."_seq"' in sq
     mg = build_staging_upsert("t", "s", ["repo"], ["content"], dialect="merge")
     assert mg.startswith("MERGE INTO t") and "WHEN MATCHED AND" in mg
     assert "WHEN NOT MATCHED THEN INSERT" in mg
@@ -137,4 +151,4 @@ def test_staging_upsert_shapes():
 def test_empty_batch_is_noop(spark, sink):
     empty = _prep(_mk_events(spark, [("r1", "a", 1, "I", "v1")])).where("1 = 0")
     assert sink.apply_batch(empty) == 0
-    assert sink.con.sql("SELECT count(*) FROM repo_files").fetchone()[0] == 0
+    assert sink.con.execute("SELECT count(*) FROM repo_files").fetchone()[0] == 0
