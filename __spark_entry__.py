@@ -431,6 +431,15 @@ def q_strip_boilerplate_highdf(spark, sf_dir):
     return T.remove_high_df_tokens(docs, max_df=0.75)
 
 
+def q_decontaminate_benchmark(spark, sf_dir):
+    """Benchmark decontamination (GPT-3-style): flag corpus docs sharing any
+    8-gram with the 'eval set' (every 25th doc); broadcast n-gram set,
+    zero corpus shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where("doc_id % 25 = 0")
+    return S.decontaminate(docs, bench, n=8)
+
+
 def q_vocab_top100(spark, sf_dir):
     """Vocabulary building: top-100 whitespace tokens by (count desc, token
     asc) with dense 0-based ids."""
@@ -820,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences": q_pack_sequences,
         "stratified_sample_langs": q_stratified_sample_langs,
         "strip_boilerplate_highdf": q_strip_boilerplate_highdf,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
         "vocab_top100": q_vocab_top100,
         "rollup_pricing": q_rollup_pricing,
         "pivot_events_by_type": q_pivot_events_by_type,
@@ -1396,6 +1406,17 @@ def oracle_sql() -> dict[str, str]:
             f"len({TOKS_SQL}) - len(list_filter({TOKS_SQL}, "
             "t -> NOT list_contains(hl, t))) AS n_removed "
             "FROM documents, high"
+        ),
+        "decontaminate_benchmark": (
+            "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+            f"range(1, greatest(len({TOKS_SQL}) - 6, 1)), "
+            f"i -> {TOKS_SQL}[i] || ' ' || {TOKS_SQL}[i+1] || ' ' || {TOKS_SQL}[i+2] || ' ' || "
+            f"{TOKS_SQL}[i+3] || ' ' || {TOKS_SQL}[i+4] || ' ' || {TOKS_SQL}[i+5] || ' ' || "
+            f"{TOKS_SQL}[i+6] || ' ' || {TOKS_SQL}[i+7])) AS s FROM documents), "
+            "bench AS (SELECT coalesce(list(DISTINCT g), CAST([] AS VARCHAR[])) AS bg "
+            "FROM (SELECT unnest(s) AS g FROM sh WHERE doc_id % 25 = 0)) "
+            "SELECT doc_id, len(list_intersect(s, bg)) AS n_contaminated, "
+            "len(list_intersect(s, bg)) = 0 AS is_clean FROM sh, bench"
         ),
         "vocab_top100": (
             f"SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT) AS token_id, cnt "

@@ -46,6 +46,10 @@ HEADLINE = [
     "range_join_event_bursts",  # added r2
     "cdc_changes_between",  # added r3: manifest-pruned changelog diff
     "neardup_clusters",  # added r3: connected components w/ pointer jumping
+    "pack_sequences",  # added r3: concat-then-chunk sequence packing
+    "stratified_sample_langs",  # added r3: fixed-k per-stratum sampling
+    "strip_boilerplate_highdf",  # added r3: corpus df-threshold strip
+    "decontaminate_benchmark",  # added r3: eval-set n-gram overlap filter
 ]
 
 

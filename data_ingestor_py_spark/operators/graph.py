@@ -54,22 +54,33 @@ def connected_components(
     If the budget is still exhausted, ``on_nonconverged`` picks the failure
     mode: ``"raise"`` (default — wrong clusters must not pass silently) or
     ``"warn"`` (log and return the partial labels)."""
+    # materialize the undirected edge list ONCE: it is joined every round,
+    # and without cutting its lineage each round would re-run the entire
+    # upstream pipeline that produced the edges (e.g. the LSH candidate
+    # join) — at N rounds that is N extra full pipeline executions
     und = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).unionByName(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
-    ).distinct()
+    ).distinct().localCheckpoint(eager=True)
     labels = vertices.select(
         F.col(id_col).alias("node"), F.col(id_col).alias("label")
     ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iter):
+        ltype = labels.schema["label"].dataType
         neighbor_labels = (
             und.join(labels, und["v"] == labels["node"])
-            .select(und["u"].alias("node"), labels["label"].alias("label"))
+            .select(und["u"].alias("node"), labels["label"].alias("label"),
+                    F.lit(None).cast(ltype).alias("_old"))
         )
+        # carry each node's pre-round label through the aggregation (only
+        # the self row has it; max() picks it up) so convergence detection
+        # is a column compare on this round's OWN output — no extra
+        # new-vs-old join per round
         stepped = (
-            labels.unionByName(neighbor_labels)
+            labels.select("node", "label", F.col("label").alias("_old"))
+            .unionByName(neighbor_labels)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
+            .agg(F.min("label").alias("label"), F.max("_old").alias("_old"))
         )
         # pointer jumping: a label is itself a vertex id, and label(x) is
         # reachable from x, so label(label(v)) is a valid (and <=) label for
@@ -82,17 +93,12 @@ def connected_components(
             .select(
                 "node",
                 F.least(F.col("label"), F.coalesce("plabel", "label")).alias("label"),
+                "_old",
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(~F.col("label").eqNullSafe(F.col("_old"))).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             converged = True
             break

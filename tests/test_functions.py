@@ -233,3 +233,18 @@ def test_remove_high_df_tokens_preserves_order(spark, sf_dir):
         it = iter(orig)
         assert all(t in it for t in kept)
     assert removed_any  # the word-soup corpus has high-df tokens
+
+
+def test_decontaminate_paths_agree_and_flag_benchmark(spark, sf_dir):
+    from data_ingestor_py_spark.functions.similarity import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where("doc_id % 25 = 0")
+    a = decontaminate(docs, bench, n=8, broadcast_set=False).collect()
+    b = decontaminate(docs, bench, n=8, broadcast_set=True).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    flagged = {r["doc_id"] for r in a if not r["is_clean"]}
+    bench_ids = {r["doc_id"] for r in bench.select("doc_id").collect()}
+    # every benchmark doc long enough to have 8-grams must flag itself
+    assert bench_ids <= flagged
+    assert len(flagged) < docs.count()  # but not everything is contaminated
