@@ -277,7 +277,9 @@ def remove_high_df_tokens(
         .where(F.col("df") > max_df * n_docs)
         .select("token")
     )
-    high = F.broadcast(docfreq).select(F.collect_set("token").alias("_high"))
+    # hint the AGGREGATED 1-row relation (hinting below the aggregate would
+    # be discarded and the crossJoin could plan as a cartesian shuffle)
+    high = F.broadcast(docfreq.select(F.collect_set("token").alias("_high")))
     toks = tokens(text_col)
     kept = F.filter(toks, lambda t: ~F.array_contains(F.col("_high"), t))
     return (

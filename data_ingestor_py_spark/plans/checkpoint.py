@@ -130,22 +130,38 @@ class Checkpoint:
         self.dir = os.path.join(root, "_checkpoint")
         self.io = storage or PosixStorage()
 
-    def committed_batches(self, checksum: str | None = None) -> set[int]:
+    def committed_batches(
+        self, checksum: str | None = None, exclude_streams: bool = False
+    ) -> set[int]:
         """Driver-side metadata read — no Spark job. With ``checksum`` the
         set is restricted to rows carrying that checksum value (used by the
-        streaming path, which stores its stream identity there, so epoch
-        numbering from a DIFFERENT stream checkpoint never aliases)."""
-        files = [k for k in self.io.list(self.dir) if k.endswith(".parquet")]
-        if not files:
-            return set()
-        ds = pads.dataset(files, format="parquet")
-        t = ds.to_table(columns=["batch_id", "status", "checksum"])
+        streaming path, which stores a ``stream:``-prefixed identity there,
+        so epoch numbering from a DIFFERENT stream checkpoint never
+        aliases). ``exclude_streams`` drops all stream-identity rows — the
+        BATCH replay driver's view, so stream epochs sharing batch_id
+        numbers never alias batch ids either."""
+        # retry the list->open window: a concurrent compactor may delete a
+        # just-listed file (its rows live on in the compacted file we will
+        # pick up on re-list)
+        for attempt in range(5):
+            files = [k for k in self.io.list(self.dir) if k.endswith(".parquet")]
+            if not files:
+                return set()
+            try:
+                ds = pads.dataset(files, format="parquet")
+                t = ds.to_table(columns=["batch_id", "status", "checksum"])
+                break
+            except FileNotFoundError:
+                if attempt == 4:
+                    raise
         return {
             b for b, s, c in zip(
                 t["batch_id"].to_pylist(), t["status"].to_pylist(),
                 t["checksum"].to_pylist(),
             )
-            if s == "COMMITTED" and (checksum is None or c == checksum)
+            if s == "COMMITTED"
+            and (checksum is None or c == checksum)
+            and not (exclude_streams and (c or "").startswith("stream:"))
         }
 
     def commit(self, rec: BatchRecord) -> None:
@@ -155,10 +171,13 @@ class Checkpoint:
     def read(self) -> DataFrame:
         # dropDuplicates: rows duplicated by a crash mid-compaction are
         # byte-identical, so exact-row dedup restores the logical table;
-        # pathGlobFilter skips in-flight staging uploads
+        # pathGlobFilter skips in-flight staging uploads; ignoreMissingFiles
+        # tolerates a concurrent compactor deleting a listed original (its
+        # rows live on in the compacted file, which IS in the listing)
         return (
             self.spark.read.schema(CHECKPOINT_DDL)
             .option("pathGlobFilter", "*.parquet")
+            .option("ignoreMissingFiles", "true")
             .parquet(self.dir)
             .dropDuplicates()
         )
@@ -202,6 +221,7 @@ class Lineage:
         return (
             self.spark.read.schema(LINEAGE_DDL)
             .option("pathGlobFilter", "*.parquet")
+            .option("ignoreMissingFiles", "true")
             .parquet(self.dir)
             .dropDuplicates()
         )

@@ -41,6 +41,7 @@ class FallbackLogger:
     ):
         self.path = path
         self.context = context or {}
+        self.backup_count = backup_count
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         # a logger per file path; idempotent across instances
         self._logger = logging.getLogger(f"ingestor.fallback.{path}")
@@ -72,13 +73,14 @@ class FallbackLogger:
         return line
 
     def read(self) -> list[dict]:
-        """All surviving entries, oldest first (across rotated backups)."""
+        """All surviving entries, oldest first (across rotated backups:
+        ``.{backup_count}`` is oldest, ``.1`` newest, current file last —
+        ordered numerically, so ``backup_count > 9`` reads correctly)."""
         out: list[dict] = []
-        candidates = sorted(
-            (p for p in (f"{self.path}.{i}" for i in range(9, 0, -1))
-             if os.path.exists(p)),
-            reverse=True,
-        ) + ([self.path] if os.path.exists(self.path) else [])
+        candidates = [
+            p for p in (f"{self.path}.{i}" for i in range(self.backup_count, 0, -1))
+            if os.path.exists(p)
+        ] + ([self.path] if os.path.exists(self.path) else [])
         for p in candidates:
             with open(p) as f:
                 for ln in f:

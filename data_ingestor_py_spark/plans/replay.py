@@ -66,7 +66,10 @@ def replay(
         os.path.join(table.root, "_fallback_logs.json"),
         context={"table": table.root},
     )
-    done = cp.committed_batches()
+    # exclude stream-identity rows: a stream's epoch numbering shares the
+    # batch_id space in the same _checkpoint table, and a stream epoch being
+    # committed must never make the batch driver skip a batch it never ran
+    done = cp.committed_batches(exclude_streams=True)
     out: list[BatchRecord] = []
     for i, batch in enumerate(batches):
         if i in done:

@@ -110,8 +110,17 @@ class TargetTable:
     def _version_path(self, version: int) -> str:
         return os.path.join(self.root, "_versions", f"manifest-v{version:06d}.json")
 
+    def _get_manifest(self, path: str) -> dict:
+        raw = self.io.get(path)
+        if raw is None:
+            raise FileNotFoundError(
+                f"no manifest object at {path} — table not created, version "
+                "never committed, or snapshot expired"
+            )
+        return json.loads(raw)
+
     def _load(self) -> dict:
-        m = json.loads(self.io.get(self._manifest_path))
+        m = self._get_manifest(self._manifest_path)
         # Roll forward a crashed commit: the CAS token (per-version manifest
         # object) is written BEFORE the main-pointer put, so if a committer
         # died in between, the token holds the complete committed manifest —
@@ -309,7 +318,7 @@ class TargetTable:
     def read_version(self, version: int) -> DataFrame:
         """Time travel: visible rows as of snapshot ``version`` (works while
         the referenced snapshot dirs have not been expired)."""
-        m = json.loads(self.io.get(self._version_path(version)))
+        m = self._get_manifest(self._version_path(version))
         return self._state_df(m).where(F.col("_op") != "D")
 
     # ---------------- merge-apply (M1/M2/M3/M9) ----------------
@@ -328,11 +337,13 @@ class TargetTable:
         snapshot and retried (losers' work is discarded, like Iceberg's
         optimistic retry) up to ``max_commit_retries`` times.
 
-        ``salt_buckets`` may be ``"auto"``: the per-bucket event counts the
+        ``salt_buckets`` may be ``"auto"``: the per-bucket stats the
         discovery job already collects decide per batch — if the hottest
-        touched bucket holds >= ``auto_salt_skew_ratio`` x the median AND at
-        least ``auto_salt_min_rows`` events, the hot keys are spread over
-        ``min(64, next_pow2(ratio))`` reducers; uniform batches pay nothing.
+        touched bucket holds at least ``auto_salt_min_rows`` events AND its
+        events-per-key density (full stats; light stats: its events vs the
+        uniform share rows_in/B) is >= ``auto_salt_skew_ratio``, the hot
+        keys are spread over ``min(64, next_pow2(ratio))`` reducers;
+        uniform batches pay nothing.
         """
         for attempt in range(max_commit_retries + 1):
             try:
@@ -428,12 +439,21 @@ class TargetTable:
         t_d1 = time.time()
 
         if salt_buckets == "auto":
-            # skew decision from the discovery stats this job just paid for:
-            # salt only when the hottest bucket is big enough in absolute
-            # terms for the window sort to matter AND far off the median
-            evs = sorted(per_bucket_ev.values())
-            hot, med = evs[-1], evs[len(evs) // 2]
-            ratio = hot / max(med, 1)
+            # Skew decision from the discovery stats this job just paid for.
+            # Salting pays when a reducer's bucket holds MANY EVENTS PER KEY
+            # (the pre-reduce shrinks them before the big window sort); it is
+            # pure overhead when events/key ~ 1. With full stats the signal
+            # is direct: the hottest bucket's events-per-distinct-key. In
+            # light mode (no key counts) the proxy is the hottest bucket's
+            # events vs the uniform expectation rows_in/B — this also fires
+            # when ALL events land in one bucket (a median-of-touched ratio
+            # would read 1.0 there, the canonical hot-key flood).
+            hot_b = max(per_bucket_ev, key=lambda b: per_bucket_ev[b])
+            hot = per_bucket_ev[hot_b]
+            if stats == "full":
+                ratio = hot / max(per_bucket[hot_b], 1)
+            else:
+                ratio = hot / max(rows_in / B, 1)
             if hot >= auto_salt_min_rows and ratio >= auto_salt_skew_ratio:
                 salt_buckets = min(64, 1 << max(1, (int(ratio) - 1).bit_length()))
             else:
@@ -554,8 +574,8 @@ class TargetTable:
         3%%-touched batch window this reads ~2x3%% of the table instead of
         2x100%%. (A partition-spec rewrite between the versions invalidates
         bucket-id comparison; the diff then falls back to the full scan.)"""
-        m_old = json.loads(self.io.get(self._version_path(v_old)))
-        m_new = json.loads(self.io.get(self._version_path(v_new)))
+        m_old = self._get_manifest(self._version_path(v_old))
+        m_new = self._get_manifest(self._version_path(v_new))
         key_cols = m_new["key_cols"]
         bucket_ids = None
         if (
@@ -807,7 +827,12 @@ class TargetTable:
         return text
 
     def expire_snapshots(self, keep_last: int = 1) -> None:
-        """Delete snapshot dirs no longer referenced by the manifest."""
+        """Delete snapshot dirs no longer referenced by the manifest; also
+        sweep staging orphans a crashed writer may have left next to the
+        manifest/version objects (grace-period guarded, so a live writer's
+        in-flight upload is never touched)."""
+        self.io.sweep_staging(self.root)
+        self.io.sweep_staging(os.path.join(self.root, "_versions"))
         m = self._load()
         live = {info["path"].split("/")[0] for info in m["buckets"].values()}
         snaps = sorted(d for d in os.listdir(self.root) if d.startswith("snap-"))

@@ -95,7 +95,12 @@ def stream_replay(
     # epochs of a different/rebuilt stream checkpoint are never skipped,
     # they just re-merge idempotently. Read once at start: replayed epochs
     # are always from before the restart.
-    stream_ident = f"stream:{checkpoint_dir}" if checkpoint_dir else ""
+    # normalize the path so the same Spark checkpoint referenced by a
+    # different spelling on restart (relative vs absolute, trailing slash)
+    # still matches its own committed epochs
+    stream_ident = (
+        f"stream:{os.path.abspath(checkpoint_dir)}" if checkpoint_dir else ""
+    )
     already_committed = (
         cp.committed_batches(checksum=stream_ident) if checkpoint_dir else set()
     )
