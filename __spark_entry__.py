@@ -440,6 +440,14 @@ def q_decontaminate_benchmark(spark, sf_dir):
     return S.decontaminate(docs, bench, n=8)
 
 
+def q_kmeans_centroids(spark, sf_dir):
+    """IVF coarse-quantizer training: 2 Lloyd iterations over the embedding
+    corpus (broadcast-literal assignment, decimal-exact per-dim means) —
+    deterministic end-to-end, so the whole refinement replays in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.kmeans_refine(emb, k=8, iters=2)
+
+
 def q_vocab_top100(spark, sf_dir):
     """Vocabulary building: top-100 whitespace tokens by (count desc, token
     asc) with dense 0-based ids."""
@@ -830,6 +838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample_langs": q_stratified_sample_langs,
         "strip_boilerplate_highdf": q_strip_boilerplate_highdf,
         "decontaminate_benchmark": q_decontaminate_benchmark,
+        "kmeans_centroids": q_kmeans_centroids,
         "vocab_top100": q_vocab_top100,
         "rollup_pricing": q_rollup_pricing,
         "pivot_events_by_type": q_pivot_events_by_type,
@@ -1418,6 +1427,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, len(list_intersect(s, bg)) AS n_contaminated, "
             "len(list_intersect(s, bg)) = 0 AS is_clean FROM sh, bench"
         ),
+        "kmeans_centroids": _kmeans_sql(),
         "vocab_top100": (
             f"SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) - 1 AS INT) AS token_id, cnt "
             f"FROM (SELECT token, count(*) AS cnt FROM "
@@ -1535,3 +1545,45 @@ def _ngram_pairs_sql() -> str:
         FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
         WHERE len(list_intersect(a.sh, b.sh))::DOUBLE /
               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))::DOUBLE > 0.02"""
+
+
+def _kmeans_sql(k: int = 8) -> str:
+    """Two unrolled Lloyd iterations in pure SQL, mirroring kmeans_refine:
+    sha-selected init, ordered-fold squared-L2 argmin (ties -> smallest
+    cid), per-dimension means via 2^45-scaled DECIMAL(38,0) integer sums
+    (exact, no rounding — see kmeans_refine docstring) cast back to DOUBLE.
+    Empty cells carry their previous centroid (UNION of missing cids)."""
+    dist = (
+        "list_reduce(list_transform(range(1, len(embedding)+1), "
+        "i -> (CAST(embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))"
+        " * (CAST(embedding[i] AS DOUBLE) - CAST(cv[i] AS DOUBLE))), (a,b) -> a+b)"
+    )
+    explode = (
+        "SELECT cell, unnest(list_transform(range(1, len(embedding)+1), "
+        "i -> {'pos': i, 'x': CAST(embedding[i] AS DOUBLE)}), recursive := true)"
+    )
+    mean = (
+        "CAST(SUM(CAST(x * 35184372088832.0 AS DECIMAL(38,0))) AS DOUBLE)"
+        "/35184372088832.0/COUNT(*)"
+    )
+    return f"""
+WITH hv AS (SELECT vec_id, embedding,
+        ('0x' || substr(sha256('42:' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT AS hh
+      FROM embeddings),
+c0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+       FROM hv ORDER BY hh, vec_id LIMIT {k}),
+a1 AS (SELECT vec_id, embedding,
+        (SELECT cid FROM c0 ORDER BY {dist}, cid LIMIT 1) AS cell FROM hv),
+s1 AS (SELECT cell, pos, {mean} AS val FROM ({explode} FROM a1) GROUP BY cell, pos),
+c1 AS (SELECT cell AS cid, list(val ORDER BY pos) AS cv FROM s1 GROUP BY cell
+       UNION ALL
+       SELECT cid, cv FROM c0 WHERE cid NOT IN (SELECT cell FROM s1)),
+a2 AS (SELECT vec_id, embedding,
+        (SELECT cid FROM c1 ORDER BY {dist}, cid LIMIT 1) AS cell FROM hv),
+s2 AS (SELECT cell, pos, {mean} AS val FROM ({explode} FROM a2) GROUP BY cell, pos)
+SELECT cell, CAST(pos - 1 AS INT) AS pos, val FROM s2
+UNION ALL
+SELECT c1.cid AS cell, CAST(r.i - 1 AS INT) AS pos, c1.cv[r.i] AS val
+FROM c1, LATERAL (SELECT unnest(range(1, len(c1.cv)+1)) AS i) r
+WHERE c1.cid NOT IN (SELECT cell FROM s2)
+"""

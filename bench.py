@@ -50,6 +50,7 @@ HEADLINE = [
     "stratified_sample_langs",  # added r3: fixed-k per-stratum sampling
     "strip_boilerplate_highdf",  # added r3: corpus df-threshold strip
     "decontaminate_benchmark",  # added r3: eval-set n-gram overlap filter
+    "kmeans_centroids",  # added r3: IVF coarse-quantizer Lloyd training
 ]
 
 

@@ -416,3 +416,95 @@ def decontaminate(
     return joined.select(
         id_col, n_cont.alias("n_contaminated"), (n_cont == 0).alias("is_clean")
     )
+
+
+def kmeans_refine(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """Lloyd refinement of IVF centroids as DataFrame ops — the 'train the
+    coarse quantizer' step a real IVF deployment runs before ivf_topk.
+
+    Each iteration: (1) assign every vector to its nearest centroid with a
+    pure per-row expression over the BROADCAST centroid literals (squared
+    L2, folded in element order — zero shuffle, same shape as ivf_topk's
+    assignment); (2) update centroids as per-dimension means via ONE
+    posexplode + groupBy(cell, dim) aggregation whose sums are EXACT: each
+    float32 component is scaled by 2^45 (exact in float64 — float32 values
+    with exponent >= -22 become integers) and summed as DECIMAL(38,0), so
+    the sum is order-insensitive with NO rounding anywhere (a DECIMAL(38,12)
+    cast would round to 12 digits, and round-half ties on binary fractions
+    resolve differently across engines — observed at 5k vectors). The mean
+    is thus a pure function of the assignment, not of partitioning;
+    collected driver-side as the next round's model (k x dims scalars —
+    model-scale). Cells that lose all points keep their previous centroid.
+
+    Deterministic end-to-end: initial centroids are the k corpus rows with
+    the smallest engine-portable sha-prefix hash (ivf_topk's rule), so the
+    whole refinement is exactly reproducible in SQL. Returns one row per
+    (cell, dim): ``(cell, pos, val)`` with 0-based ``pos``.
+    """
+    spark = corpus.sparkSession
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"{seed}:"), F.col("cid").cast("string")), 256), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    init = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("_h", h)
+        .orderBy("_h", "cid")
+        .limit(k)
+        .collect()
+    )
+    cents = [(r["cid"], [float(x) for x in r["cv"]]) for r in init]
+    dims = len(cents[0][1])
+
+    def assign_expr(cent_list):
+        v = F.col(vec_col)
+        entries = []
+        for cid, cv in cent_list:
+            litv = F.array(*[F.lit(x) for x in cv])
+            d = F.aggregate(
+                F.zip_with(v, litv, lambda a, b: (a.cast("double") - b) * (a.cast("double") - b)),
+                F.lit(0.0), lambda acc, x: acc + x,
+            )
+            entries.append(F.struct(d.alias("dist"), F.lit(cid).alias("cid")))
+
+        def cmp(a, b):
+            return (
+                F.when(a["dist"] < b["dist"], F.lit(-1))
+                .when(a["dist"] > b["dist"], F.lit(1))
+                .when(a["cid"] < b["cid"], F.lit(-1))
+                .when(a["cid"] > b["cid"], F.lit(1))
+                .otherwise(F.lit(0))
+            )
+
+        return F.element_at(F.array_sort(F.array(*entries), cmp), 1)["cid"]
+
+    for _ in range(iters):
+        assigned = corpus.select(assign_expr(cents).alias("cell"), F.col(vec_col))
+        scale = float(2 ** 45)
+        stats = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum((F.col("x").cast("double") * F.lit(scale)).cast("decimal(38,0)")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+            .collect()  # k * dims rows — model-scale driver iteration
+        )
+        means: dict = {}
+        for r in stats:
+            means.setdefault(r["cell"], {})[r["pos"]] = float(r["s"]) / scale / r["n"]
+        cents = [
+            (cid, [means[cid][p] for p in range(dims)]) if cid in means else (cid, cv)
+            for cid, cv in cents
+        ]
+    rows = [(cid, p, cv[p]) for cid, cv in cents for p in range(dims)]
+    return spark.createDataFrame(rows, "cell long, pos int, val double")

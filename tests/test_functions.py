@@ -248,3 +248,29 @@ def test_decontaminate_paths_agree_and_flag_benchmark(spark, sf_dir):
     # every benchmark doc long enough to have 8-grams must flag itself
     assert bench_ids <= flagged
     assert len(flagged) < docs.count()  # but not everything is contaminated
+
+
+def test_kmeans_refine_deterministic_and_improving(spark, sf_dir):
+    from data_ingestor_py_spark.functions.similarity import kmeans_refine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_refine(emb, k=4, iters=2).collect()
+    b = kmeans_refine(emb.repartition(7), k=4, iters=2).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # partition-stable
+    assert len(a) == 4 * len(emb.first()["embedding"])
+
+    # refinement must not increase total within-cluster SSE vs the initial
+    # sha-selected centroids (Lloyd monotonicity)
+    def sse(cent_rows):
+        cents = {}
+        for cell, pos, val in ((r["cell"], r["pos"], r["val"]) for r in cent_rows):
+            cents.setdefault(cell, {})[pos] = val
+        clist = [[v[p] for p in range(len(v))] for v in cents.values()]
+        total = 0.0
+        for row in emb.collect():
+            vec = [float(x) for x in row["embedding"]]
+            total += min(sum((x - c) ** 2 for x, c in zip(vec, cv)) for cv in clist)
+        return total
+
+    zero = kmeans_refine(emb, k=4, iters=0).collect()  # initial centroids
+    assert sse(a) <= sse(zero) + 1e-9
