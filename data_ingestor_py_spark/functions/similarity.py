@@ -214,41 +214,71 @@ def lsh_hyperplane_bucket(vec_col: str | Column, planes: int = 8, dims: int = 64
     return out.cast("int")
 
 
+def _sha_init_centroids(
+    corpus: DataFrame, n: int, id_col: str, vec_col: str, seed: int
+) -> list[dict]:
+    """Deterministic centroid init shared by ivf_topk and kmeans_refine:
+    the ``n`` corpus rows whose id hashes lowest under the engine-portable
+    sha-prefix hash (ties -> smallest id). The DuckDB oracles mirror this
+    rule verbatim, so it must stay the single source of truth."""
+    h = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"{seed}:"), F.col("cid").cast("string")), 256), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    rows = (
+        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
+        .withColumn("_h", h)
+        .orderBy("_h", "cid")
+        .limit(n)
+        .drop("_h")
+        .collect()  # n rows — model-scale, the "broadcast the model" pattern
+    )
+    return [{"cid": r["cid"], "cv": r["cv"]} for r in rows]
+
+
+def centroid_rows_to_model(centroid_df: DataFrame) -> list[tuple]:
+    """Convert :func:`kmeans_refine`'s (cell, pos, val) rows into the
+    ``[(cid, [vector...])]`` model shape :func:`ivf_topk` accepts as its
+    trained quantizer. Model-scale collect (k x dims rows)."""
+    by_cell: dict = {}
+    for r in centroid_df.collect():
+        by_cell.setdefault(r["cell"], {})[r["pos"]] = r["val"]
+    return [
+        (cid, [vals[p] for p in range(len(vals))])
+        for cid, vals in sorted(by_cell.items())
+    ]
+
+
 def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_lists: int = 16,
     n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
-    seed: int = 42,
+    seed: int = 42, centroids: list[tuple] | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists`` cells
-    around deterministically sampled centroid vectors; a query scans only
-    its ``n_probe`` nearest cells.
+    around centroid vectors; a query scans only its ``n_probe`` nearest
+    cells.
 
-    Scale shape: centroids are a tiny broadcast table; assignment is a
+    Scale shape: centroids are a tiny broadcast model; assignment is a
     broadcast cross-join + argmin (one narrow pass over the corpus, no
     shuffle beyond the final per-query top-k); the probed join prunes the
-    candidate set ~n_lists/n_probe x. A real deployment would k-means the
-    centroids and persist the cell assignment as a bucketed column — the
-    query-time plan is identical.
+    candidate set ~n_lists/n_probe x.
+
+    ``centroids`` plugs in a TRAINED quantizer as ``[(cid, [vector...])]``
+    — typically ``centroid_rows_to_model(kmeans_refine(corpus, ...))``,
+    the full train-then-search IVF pipeline. Without it, centroids default
+    to the corpus rows whose id hashes lowest (sha-prefix — deterministic
+    and engine-portable, so the DuckDB oracle picks identical ones).
     """
-    # deterministic "training": centroids = corpus rows whose id hashes
-    # lowest (sha-prefix hash — engine-portable, so the DuckDB oracle picks
-    # identical centroids)
     import math
 
     from data_ingestor_py_spark.functions.expr import let_
 
-    h = F.conv(
-        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), F.col("cid").cast("string")), 256), 1, 8),
-        16, 10,
-    ).cast("long")
-    cents = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("_h", h)
-        .orderBy("_h", "cid")
-        .limit(n_lists)
-        .drop("_h")
-        .collect()  # n_lists rows — model-scale, the "broadcast the model" pattern
-    )
+    if centroids is None:
+        cents = _sha_init_centroids(corpus, n_lists, id_col, vec_col, seed)
+    else:
+        cents = [{"cid": cid, "cv": cv} for cid, cv in centroids]
 
     def _py_norm(vec: list[float]) -> float:
         # replicate the Catalyst fold bit-for-bit: sequential double
@@ -449,19 +479,12 @@ def kmeans_refine(
     (cell, dim): ``(cell, pos, val)`` with 0-based ``pos``.
     """
     spark = corpus.sparkSession
-    h = F.conv(
-        F.substring(
-            F.sha2(F.concat(F.lit(f"{seed}:"), F.col("cid").cast("string")), 256), 1, 8
-        ),
-        16, 10,
-    ).cast("long")
-    init = (
-        corpus.select(F.col(id_col).alias("cid"), F.col(vec_col).alias("cv"))
-        .withColumn("_h", h)
-        .orderBy("_h", "cid")
-        .limit(k)
-        .collect()
-    )
+    init = _sha_init_centroids(corpus, k, id_col, vec_col, seed)
+    if not init:
+        raise ValueError(
+            f"kmeans_refine: corpus has no rows in {id_col}/{vec_col} — "
+            "cannot initialize centroids"
+        )
     cents = [(r["cid"], [float(x) for x in r["cv"]]) for r in init]
     dims = len(cents[0][1])
 

@@ -73,14 +73,24 @@ class FallbackLogger:
         return line
 
     def read(self) -> list[dict]:
-        """All surviving entries, oldest first (across rotated backups:
-        ``.{backup_count}`` is oldest, ``.1`` newest, current file last —
-        ordered numerically, so ``backup_count > 9`` reads correctly)."""
+        """All surviving entries, oldest first. Backups are DISCOVERED on
+        disk (``<path>.N``, numerically descending: oldest first, current
+        file last) rather than derived from this instance's
+        ``backup_count`` — the rotating handler is registered once per path
+        with the FIRST instance's configuration, so a later reader with a
+        smaller count must still see every file that exists."""
         out: list[dict] = []
-        candidates = [
-            p for p in (f"{self.path}.{i}" for i in range(self.backup_count, 0, -1))
-            if os.path.exists(p)
-        ] + ([self.path] if os.path.exists(self.path) else [])
+        d = os.path.dirname(self.path) or "."
+        base = os.path.basename(self.path)
+        nums = []
+        for f in os.listdir(d) if os.path.isdir(d) else []:
+            if f.startswith(base + "."):
+                suffix = f[len(base) + 1:]
+                if suffix.isdigit():
+                    nums.append(int(suffix))
+        candidates = [f"{self.path}.{i}" for i in sorted(nums, reverse=True)] + (
+            [self.path] if os.path.exists(self.path) else []
+        )
         for p in candidates:
             with open(p) as f:
                 for ln in f:

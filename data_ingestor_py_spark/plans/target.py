@@ -338,12 +338,13 @@ class TargetTable:
         optimistic retry) up to ``max_commit_retries`` times.
 
         ``salt_buckets`` may be ``"auto"``: the per-bucket stats the
-        discovery job already collects decide per batch — if the hottest
-        touched bucket holds at least ``auto_salt_min_rows`` events AND its
-        events-per-key density (full stats; light stats: its events vs the
-        uniform share rows_in/B) is >= ``auto_salt_skew_ratio``, the hot
-        keys are spread over ``min(64, next_pow2(ratio))`` reducers;
-        uniform batches pay nothing.
+        discovery job already collects decide per batch — if any bucket
+        with at least ``auto_salt_min_rows`` events has an events-per-key
+        density (exact keys in full stats; HLL estimate in light stats)
+        >= ``auto_salt_skew_ratio``, the hot keys are spread over
+        ``min(64, next_pow2(worst density))`` reducers; uniform batches —
+        including repo-local ones concentrated in few buckets — pay
+        nothing.
         """
         for attempt in range(max_commit_retries + 1):
             try:
@@ -411,6 +412,7 @@ class TargetTable:
             F.max(seq_col).alias("seq_max"),
         )
         bkts = keys_only.groupBy(_bucket_expr(bucket_cols, B).alias("bkt"))
+        key_struct = F.struct(*[F.col(c) for c in key_cols])
         aggs = [
             F.count(F.lit(1)).alias("n_ev"),
             F.sum((F.col("_op") == "D").cast("long")).alias("n_del"),
@@ -419,11 +421,16 @@ class TargetTable:
             # distinct over a STRUCT of the keys, not the bare columns:
             # count_distinct(a, b) drops tuples containing NULL, so NULL-key
             # groups would vanish from the lineage counts
-            aggs.insert(
-                0, F.count_distinct(F.struct(*[F.col(c) for c in key_cols])).alias("n")
-            )
+            aggs.insert(0, F.count_distinct(key_struct).alias("n"))
+        else:
+            # light mode: lineage takes per-bucket rows from parquet footers,
+            # but the auto-salt skew signal still needs a per-bucket KEY
+            # count — approx_count_distinct rides the same shuffle for ~zero
+            # cost and +-5% error is nothing against the 8x threshold
+            aggs.insert(0, F.approx_count_distinct(key_struct).alias("n"))
         stat_rows = bkts.agg(*aggs).collect()
         per_bucket = {r["bkt"]: (r["n"] if stats == "full" else r["n_ev"]) for r in stat_rows}
+        per_bucket_keys = {r["bkt"]: r["n"] for r in stat_rows}
         per_bucket_ev = {r["bkt"]: r["n_ev"] for r in stat_rows}
         per_bucket_del = {r["bkt"]: int(r["n_del"] or 0) for r in stat_rows}
         touched = sorted(per_bucket)
@@ -442,19 +449,21 @@ class TargetTable:
             # Skew decision from the discovery stats this job just paid for.
             # Salting pays when a reducer's bucket holds MANY EVENTS PER KEY
             # (the pre-reduce shrinks them before the big window sort); it is
-            # pure overhead when events/key ~ 1. With full stats the signal
-            # is direct: the hottest bucket's events-per-distinct-key. In
-            # light mode (no key counts) the proxy is the hottest bucket's
-            # events vs the uniform expectation rows_in/B — this also fires
-            # when ALL events land in one bucket (a median-of-touched ratio
-            # would read 1.0 there, the canonical hot-key flood).
-            hot_b = max(per_bucket_ev, key=lambda b: per_bucket_ev[b])
-            hot = per_bucket_ev[hot_b]
-            if stats == "full":
-                ratio = hot / max(per_bucket[hot_b], 1)
-            else:
-                ratio = hot / max(rows_in / B, 1)
-            if hot >= auto_salt_min_rows and ratio >= auto_salt_skew_ratio:
+            # pure overhead when events/key ~ 1. The signal is the worst
+            # events-per-key density across ALL buckets big enough to matter
+            # (exact key counts in full mode, HLL estimates in light mode) —
+            # evaluating only the max-EVENTS bucket would miss a flood hiding
+            # behind a bigger uniform bucket, and a bucket-imbalance proxy
+            # would fire on skew-free repo-local batches.
+            ratio = max(
+                (
+                    per_bucket_ev[b] / max(per_bucket_keys[b], 1)
+                    for b in per_bucket_ev
+                    if per_bucket_ev[b] >= auto_salt_min_rows
+                ),
+                default=0.0,
+            )
+            if ratio >= auto_salt_skew_ratio:
                 salt_buckets = min(64, 1 << max(1, (int(ratio) - 1).bit_length()))
             else:
                 salt_buckets = 0

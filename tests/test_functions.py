@@ -274,3 +274,30 @@ def test_kmeans_refine_deterministic_and_improving(spark, sf_dir):
 
     zero = kmeans_refine(emb, k=4, iters=0).collect()  # initial centroids
     assert sse(a) <= sse(zero) + 1e-9
+
+
+def test_ivf_topk_with_trained_centroids(spark, sf_dir):
+    """Full train-then-search IVF: kmeans_refine centroids plug into
+    ivf_topk; results are deterministic and recall vs exact brute force on
+    the probed corpus stays reasonable."""
+    from data_ingestor_py_spark.functions.similarity import (
+        centroid_rows_to_model,
+        ivf_topk,
+        kmeans_refine,
+        topk_cosine,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    model = centroid_rows_to_model(kmeans_refine(emb, k=8, iters=2))
+    assert len(model) == 8 and all(len(cv) > 0 for _, cv in model)
+    queries = emb.where("vec_id < 8")
+    got = ivf_topk(queries, emb, k=5, n_probe=3, centroids=model).collect()
+    again = ivf_topk(queries, emb, k=5, n_probe=3, centroids=model).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in topk_cosine(queries, emb, k=5).collect()
+    }
+    approx = {(r["query_id"], r["neighbor_id"]) for r in got}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall  # probed-cell ANN keeps most true neighbors

@@ -169,3 +169,32 @@ def test_auto_salt_stays_off_for_uniform_batches(spark, tmp_path):
     t = make_table(spark, tmp_path / "t")
     st = t.merge_apply(ev, salt_buckets="auto", auto_salt_min_rows=10)
     assert st.salt_used == 0
+
+
+def test_auto_salt_fires_on_flood_beside_bigger_uniform_bucket(spark, tmp_path):
+    """The skew signal must be evaluated per bucket: a single-key flood
+    (bucket 29, repo-hot) must trigger salting even when a BIGGER but
+    perfectly uniform bucket (bucket 42, repo-uniform) holds the most
+    events — a max-events-bucket-only check would read density ~1 there
+    and skip."""
+    uniform = [("repo-uniform", f"p{i}", i + 1, "I", f"v{i}") for i in range(6000)]
+    flood = [("repo-hot", "one/path", 10000 + i, "U", f"f{i}") for i in range(3000)]
+    ev = _prep(_mk_events(spark, uniform + flood))
+    t = make_table(spark, tmp_path / "t", num_buckets=64, bucket_cols=["repo"])
+    st = t.merge_apply(ev, salt_buckets="auto", auto_salt_min_rows=1000)
+    assert st.salt_used >= 16
+    assert t.read().count() == 6001  # 6000 uniform keys + the 1 hot key
+
+
+def test_auto_salt_light_mode_repo_local_uniform_stays_off(spark, tmp_path):
+    """Light stats + coarse repo bucketing: a repo-local batch of all
+    DISTINCT keys concentrates in one bucket but has no key skew — the HLL
+    density estimate must keep salting off (a hot-bucket-vs-uniform-share
+    proxy would read ratio=B and add a pointless pre-reduce shuffle)."""
+    rows = [("one-repo", f"p{i}", i + 1, "I", f"v{i}") for i in range(3000)]
+    ev = _prep(_mk_events(spark, rows))
+    t = make_table(spark, tmp_path / "t", num_buckets=64, bucket_cols=["repo"])
+    st = t.merge_apply(ev, salt_buckets="auto", auto_salt_min_rows=1000,
+                       stats="light")
+    assert st.touched_buckets == 1
+    assert st.salt_used == 0

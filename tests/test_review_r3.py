@@ -61,23 +61,27 @@ def test_missing_manifest_raises_filenotfound(spark, tmp_path):
         t2.read_version(99)
 
 
-def test_stream_ident_is_path_normalized(tmp_path):
+def test_stream_ident_is_path_normalized(spark, tmp_path):
     """Same checkpoint dir under different spellings must produce the same
-    stream identity (else a restart under a relative path re-applies
-    epochs and duplicates lineage rows)."""
+    stream identity (else a restart under an alternate spelling re-applies
+    epochs and duplicates lineage rows). Drives the REAL stream with a
+    denormalized spelling and asserts the committed record carries the
+    canonical identity."""
     import os
 
-    from data_ingestor_py_spark.streaming import stream_replay as sr
+    from data_ingestor_py_spark.streaming.stream_replay import stream_replay
+    from tests.test_streaming import SCHEMA, _prep
 
-    # the ident expression is inline; reproduce via os.path.abspath contract
-    d = str(tmp_path / "cp")
-    assert os.path.abspath(d) == os.path.abspath(d + "/")
-    here = os.getcwd()
-    try:
-        os.chdir(tmp_path)
-        assert os.path.abspath("cp") == os.path.abspath(d)
-    finally:
-        os.chdir(here)
+    ev = change_events(spark, 300, n_repos=5, paths_per_repo=5, seed=44)
+    src = str(tmp_path / "events")
+    ev.coalesce(1).write.parquet(src)
+    t = make_table(spark, tmp_path / "t")
+    canonical = str(tmp_path / "cp")
+    weird = str(tmp_path / "sub" / ".." / "cp") + os.sep  # ../ + trailing slash
+    q = stream_replay(spark, src, SCHEMA, t, prepare=_prep, checkpoint_dir=weird)
+    q.awaitTermination(120)
+    rows = Checkpoint(spark, t.root).read().collect()
+    assert rows and all(r["checksum"] == f"stream:{canonical}" for r in rows)
 
 
 def test_fallback_read_handles_deep_rotation(tmp_path):
