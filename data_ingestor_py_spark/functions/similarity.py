@@ -16,6 +16,8 @@ same numbers — signatures match bit-for-bit across engines.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -238,6 +240,49 @@ def _sha_init_centroids(
     return [{"cid": r["cid"], "cv": r["cv"]} for r in rows]
 
 
+# Above this many centroids, plan-literal assignment (k x dims F.lit's per
+# row expression) hits Catalyst plan-size / codegen walls; switch to the
+# Arrow path, which ships the centroid matrix in a pandas-UDF closure.
+LITERAL_ASSIGN_MAX_K = 256
+
+
+def _arrow_cells_udf(cents: list[dict], n_out: int, metric: str, id_dtype):
+    """Centroid assignment for LARGE k (IVF-production k = 2^12..2^16):
+    the centroid matrix rides the pandas-UDF closure and each Arrow batch
+    is assigned with one numpy matmul — zero joins, zero Exchange, plan
+    size independent of k. (A broadcast-join + min_by re-aggregation would
+    need an n-row Exchange to argmin across joined rows; this path has
+    none at all.)
+
+    Tie-break parity with the literal fold: centroids are pre-sorted by
+    cid and ``argsort(kind='stable')`` keeps first-seen order on ties, so
+    the rule is (metric, cid asc) on both paths. NOT bit-parity-grade:
+    numpy's pairwise-summed matmul can differ from the sequential Catalyst
+    fold in the last ulp, so oracle-exact gates keep the literal path and
+    this one is recall/exhaustive-probe tested (tests/test_ivf_large_k.py).
+    """
+    from pyspark.sql.types import ArrayType
+
+    order = sorted(range(len(cents)), key=lambda i: cents[i]["cid"])
+    cids = np.asarray([cents[i]["cid"] for i in order], dtype=object)
+    M = np.asarray([[float(x) for x in cents[i]["cv"]] for i in order], dtype=np.float64)
+    Mn = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-300)
+    M2 = (M * M).sum(axis=1)
+
+    @F.pandas_udf(ArrayType(id_dtype))
+    def assign(vs: pd.Series) -> pd.Series:
+        V = np.asarray(vs.tolist(), dtype=np.float64)
+        if metric == "cosine":
+            Vn = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-300)
+            S = -(Vn @ Mn.T)  # ascending sort == cosine desc
+        else:  # squared L2 (kmeans assignment); + |v|^2 is rank-invariant
+            S = M2[None, :] - 2.0 * (V @ M.T)
+        idx = np.argsort(S, axis=1, kind="stable")[:, :n_out]
+        return pd.Series([cids[row].tolist() for row in idx])
+
+    return assign
+
+
 def centroid_rows_to_model(centroid_df: DataFrame) -> list[tuple]:
     """Convert :func:`kmeans_refine`'s (cell, pos, val) rows into the
     ``[(cid, [vector...])]`` model shape :func:`ivf_topk` accepts as its
@@ -255,6 +300,7 @@ def ivf_topk(
     queries: DataFrame, corpus: DataFrame, k: int = 5, n_lists: int = 16,
     n_probe: int = 2, id_col: str = "vec_id", vec_col: str = "embedding",
     seed: int = 42, centroids: list[tuple] | None = None,
+    assignment: str = "auto",
 ) -> DataFrame:
     """IVF (inverted-file) ANN: partition the corpus into ``n_lists`` cells
     around centroid vectors; a query scans only its ``n_probe`` nearest
@@ -270,6 +316,12 @@ def ivf_topk(
     the full train-then-search IVF pipeline. Without it, centroids default
     to the corpus rows whose id hashes lowest (sha-prefix — deterministic
     and engine-portable, so the DuckDB oracle picks identical ones).
+
+    ``assignment``: 'literal' embeds the centroids as plan literals (fast,
+    bit-parity with the SQL oracle; k x dims literals — small k only),
+    'arrow' ships them in a pandas-UDF closure (plan size independent of
+    k; see :func:`_arrow_cells_udf`), 'auto' picks literal for
+    k <= LITERAL_ASSIGN_MAX_K and arrow beyond.
     """
     import math
 
@@ -325,7 +377,15 @@ def ivf_topk(
         )
         return let_(norm_v, with_norm)
 
+    use_arrow = assignment == "arrow" or (
+        assignment == "auto" and len(cents) > LITERAL_ASSIGN_MAX_K
+    )
+    cid_dtype = corpus.schema[id_col].dataType
+
     def assign_cells(df: DataFrame, idc: str, vc: str, n: int, out: str) -> DataFrame:
+        if use_arrow:
+            udf = _arrow_cells_udf(cents, n, "cosine", cid_dtype)
+            return df.select(idc, vc, F.explode(udf(F.col(vc))).alias(out))
         return df.select(
             idc, vc, F.explode(cell_struct_expr(vc, n)).alias("_s")
         ).select(idc, vc, F.col("_s")["cid"].alias(out))
@@ -455,6 +515,7 @@ def kmeans_refine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    assignment: str = "auto",
 ) -> DataFrame:
     """Lloyd refinement of IVF centroids as DataFrame ops — the 'train the
     coarse quantizer' step a real IVF deployment runs before ivf_topk.
@@ -476,7 +537,14 @@ def kmeans_refine(
     Deterministic end-to-end: initial centroids are the k corpus rows with
     the smallest engine-portable sha-prefix hash (ivf_topk's rule), so the
     whole refinement is exactly reproducible in SQL. Returns one row per
-    (cell, dim): ``(cell, pos, val)`` with 0-based ``pos``.
+    (cell, dim): ``(cell, pos, val)`` with 0-based ``pos``; the ``cell``
+    column carries the corpus id column's own type (string ids work — the
+    same ids ivf_topk accepts).
+
+    ``assignment`` mirrors :func:`ivf_topk`: 'literal' (bit-parity plan
+    literals, small k), 'arrow' (numpy matmul in a pandas-UDF closure,
+    k-independent plan — the large-k path), 'auto' switches at
+    LITERAL_ASSIGN_MAX_K.
     """
     spark = corpus.sparkSession
     init = _sha_init_centroids(corpus, k, id_col, vec_col, seed)
@@ -510,8 +578,21 @@ def kmeans_refine(
 
         return F.element_at(F.array_sort(F.array(*entries), cmp), 1)["cid"]
 
+    use_arrow = assignment == "arrow" or (
+        assignment == "auto" and len(cents) > LITERAL_ASSIGN_MAX_K
+    )
+    cid_dtype = corpus.schema[id_col].dataType
+
     for _ in range(iters):
-        assigned = corpus.select(assign_expr(cents).alias("cell"), F.col(vec_col))
+        if use_arrow:
+            udf = _arrow_cells_udf(
+                [{"cid": cid, "cv": cv} for cid, cv in cents], 1, "l2", cid_dtype
+            )
+            assigned = corpus.select(
+                udf(F.col(vec_col))[0].alias("cell"), F.col(vec_col)
+            )
+        else:
+            assigned = corpus.select(assign_expr(cents).alias("cell"), F.col(vec_col))
         scale = float(2 ** 45)
         stats = (
             assigned.select("cell", F.posexplode(F.col(vec_col)).alias("pos", "x"))
@@ -529,5 +610,12 @@ def kmeans_refine(
             (cid, [means[cid][p] for p in range(dims)]) if cid in means else (cid, cv)
             for cid, cv in cents
         ]
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
     rows = [(cid, p, cv[p]) for cid, cv in cents for p in range(dims)]
-    return spark.createDataFrame(rows, "cell long, pos int, val double")
+    schema = StructType([
+        StructField("cell", cid_dtype),  # corpus id type — string ids work
+        StructField("pos", IntegerType()),
+        StructField("val", DoubleType()),
+    ])
+    return spark.createDataFrame(rows, schema)

@@ -195,7 +195,8 @@ def pack_sequences(
     h = _sha_bucket(c, HASH_MOD, seed)
     out = df.select(
         c.alias(id_col),
-        F.size(tokens(text_col)).alias("n_tokens"),
+        # long, matching the oracle's len() (BIGINT) exactly at the driver
+        F.size(tokens(text_col)).cast("long").alias("n_tokens"),
         (h % shards).alias("shard"),
         h.alias("_h"),
     )

@@ -43,8 +43,13 @@ class FallbackLogger:
         self.context = context or {}
         self.backup_count = backup_count
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        # a logger per file path; idempotent across instances
-        self._logger = logging.getLogger(f"ingestor.fallback.{path}")
+        # a logger per file path; idempotent across instances. Keyed by
+        # ABSPATH — the same key the handler-dedup below compares — so two
+        # instances naming one file via different spellings (relative vs
+        # absolute) share a single logger/handler instead of attaching two
+        # rotating handlers to the same file (duplicate entries + broken
+        # rotation accounting).
+        self._logger = logging.getLogger(f"ingestor.fallback.{os.path.abspath(path)}")
         self._logger.setLevel(logging.INFO)
         self._logger.propagate = False
         if not any(

@@ -97,14 +97,22 @@ def replay(
             committed_at=t1,
             duration_s=t1 - t0,
         )
+        # L2 fallback guards STORAGE failures only (OSError covers local FS,
+        # pyarrow IO, and adapter StorageError) — a schema/serialization bug
+        # must raise, not silently downgrade to a log line forever. The
+        # stage marker distinguishes a failed checkpoint write from a
+        # checkpoint that COMMITTED whose lineage append then failed.
+        stage = "checkpoint"
         try:
             cp.commit(rec)
+            stage = "lineage"
             lin.append(i, st.bucket_rows)
-        except Exception as e:  # metadata store down — L2 fallback path
+        except OSError as e:  # metadata store down — L2 fallback path
             from dataclasses import asdict
 
             fb.log(
-                "CHECKPOINT_WRITE_FAILED",
+                "CHECKPOINT_WRITE_FAILED" if stage == "checkpoint"
+                else "LINEAGE_WRITE_FAILED",
                 str(e),
                 batch_id=i,
                 record=asdict(rec),

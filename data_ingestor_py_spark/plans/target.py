@@ -48,7 +48,6 @@ from __future__ import annotations
 
 import json
 import os
-import shutil
 import time
 import uuid
 from dataclasses import dataclass
@@ -417,20 +416,25 @@ class TargetTable:
             F.count(F.lit(1)).alias("n_ev"),
             F.sum((F.col("_op") == "D").cast("long")).alias("n_del"),
         ]
+        need_key_counts = stats == "full" or salt_buckets == "auto"
         if stats == "full":
             # distinct over a STRUCT of the keys, not the bare columns:
             # count_distinct(a, b) drops tuples containing NULL, so NULL-key
             # groups would vanish from the lineage counts
             aggs.insert(0, F.count_distinct(key_struct).alias("n"))
-        else:
+        elif salt_buckets == "auto":
             # light mode: lineage takes per-bucket rows from parquet footers,
             # but the auto-salt skew signal still needs a per-bucket KEY
             # count — approx_count_distinct rides the same shuffle for ~zero
-            # cost and +-5% error is nothing against the 8x threshold
+            # cost and +-5% error is nothing against the 8x threshold.
+            # With a FIXED salt_buckets the key count has no consumer, so
+            # light mode then skips the HLL entirely.
             aggs.insert(0, F.approx_count_distinct(key_struct).alias("n"))
         stat_rows = bkts.agg(*aggs).collect()
         per_bucket = {r["bkt"]: (r["n"] if stats == "full" else r["n_ev"]) for r in stat_rows}
-        per_bucket_keys = {r["bkt"]: r["n"] for r in stat_rows}
+        per_bucket_keys = (
+            {r["bkt"]: r["n"] for r in stat_rows} if need_key_counts else {}
+        )
         per_bucket_ev = {r["bkt"]: r["n_ev"] for r in stat_rows}
         per_bucket_del = {r["bkt"]: int(r["n_del"] or 0) for r in stat_rows}
         touched = sorted(per_bucket)
@@ -557,7 +561,7 @@ class TargetTable:
         ).parquet(os.path.join(self.root, rel))
         written = [
             int(d.split("=")[1])
-            for d in os.listdir(os.path.join(self.root, rel))
+            for d in self.io.list_dirs(os.path.join(self.root, rel))
             if d.startswith("bkt=")
         ]
         for b in written:
@@ -659,7 +663,9 @@ class TargetTable:
             "overwrite"
         ).parquet(out_dir)
         written = [
-            int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("bkt=")
+            int(d.split("=")[1])
+            for d in self.io.list_dirs(out_dir)
+            if d.startswith("bkt=")
         ]
         m["buckets"] = {
             str(b): {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]} for b in written
@@ -754,7 +760,9 @@ class TargetTable:
         out_dir = os.path.join(self.root, rel)
         out.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
         written = {
-            int(d.split("=")[1]) for d in os.listdir(out_dir) if d.startswith("bkt=")
+            int(d.split("=")[1])
+            for d in self.io.list_dirs(out_dir)
+            if d.startswith("bkt=")
         }
         for b in touched:
             if b in written:
@@ -782,10 +790,15 @@ class TargetTable:
         from data_ingestor_py_spark.plans.checkpoint import Checkpoint
 
         rows = Checkpoint(self.spark, self.root, storage=self.io).read().collect()
-        # dedupe by (batch_id, status): a crash inside checkpoint compaction
-        # can leave both the compacted file and the originals on disk —
-        # duplicate rows are byte-identical, so keep one per batch
-        rows = list({(r["batch_id"], r["status"]): r for r in rows}.values())
+        # dedupe by (batch_id, checksum, status): a crash inside checkpoint
+        # compaction can leave both the compacted file and the originals on
+        # disk — duplicate rows are byte-identical, so keep one per batch.
+        # The checksum carries the stream identity ('stream:<id>:<epoch>'),
+        # so a stream's epoch 0 and a batch replay's batch 0 on the same
+        # table stay DISTINCT records (they are distinct commits).
+        rows = list(
+            {(r["batch_id"], r["checksum"], r["status"]): r for r in rows}.values()
+        )
         ok = [r for r in rows if r["status"] == "COMMITTED"]
         return {
             "records_read": sum(max(r["rows_in"], 0) for r in ok),
@@ -844,7 +857,13 @@ class TargetTable:
         self.io.sweep_staging(os.path.join(self.root, "_versions"))
         m = self._load()
         live = {info["path"].split("/")[0] for info in m["buckets"].values()}
-        snaps = sorted(d for d in os.listdir(self.root) if d.startswith("snap-"))
+        # data plane through the storage adapter too: delimiter listing +
+        # batch prefix delete are the only ops GC needs, so on a real object
+        # store the whole maintenance path rides the same adapter swap as
+        # the commit protocol (no POSIX directory semantics assumed)
+        snaps = sorted(
+            d for d in self.io.list_dirs(self.root) if d.startswith("snap-")
+        )
         for d in snaps[:-keep_last] if keep_last else snaps:
             if d not in live:
-                shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+                self.io.delete_prefix(os.path.join(self.root, d))

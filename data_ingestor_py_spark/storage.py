@@ -49,6 +49,16 @@ import time
 import uuid
 
 
+class StorageError(OSError):
+    """Adapter-defined storage failure. Real HTTP backends should wrap
+    transport/service errors (timeouts, 5xx, throttling) in this so callers
+    can catch *storage* failures — the L2 fallback guard in the replay
+    drivers catches ``OSError`` (which this subclasses, and which also
+    covers local-FS and pyarrow IO errors) and deliberately NOT bare
+    ``Exception``: a schema mismatch or serialization bug must surface, not
+    be downgraded to a fallback-log line forever."""
+
+
 class StorageAdapter:
     """Base: shared local-emulation mechanics; subclasses fix the contract.
 
@@ -117,6 +127,34 @@ class StorageAdapter:
         except FileNotFoundError:
             pass
 
+    def list_dirs(self, prefix: str) -> list[str]:
+        """First-level 'directory' names under ``prefix`` — the S3/GCS
+        delimiter-listing *common prefixes* shape (``delimiter='/'``). The
+        data plane (snapshot GC, written-bucket discovery) uses this instead
+        of ``os.listdir`` so a real object-store adapter overrides one
+        method, not the engine."""
+        if not os.path.isdir(prefix):
+            return []
+        return sorted(
+            d for d in os.listdir(prefix)
+            if ".tmp-" not in d and os.path.isdir(os.path.join(prefix, d))
+        )
+
+    def delete_prefix(self, prefix: str) -> int:
+        """Delete every object under ``prefix`` (S3 batch-delete /
+        list-then-delete shape). Idempotent; returns objects removed. The
+        local emulation also drops the now-empty directory skeleton (real
+        object stores have no directories to clean)."""
+        n = 0
+        for root, _dirs, files in os.walk(prefix):
+            for f in files:
+                self.delete(os.path.join(root, f))
+                n += 1
+        import shutil
+
+        shutil.rmtree(prefix, ignore_errors=True)
+        return n
+
     def sweep_staging(self, prefix: str, grace_s: float = 10.0) -> int:
         """Remove staging orphans older than ``grace_s`` left by crashed
         writers. The grace period protects a LIVE concurrent writer's
@@ -162,16 +200,38 @@ class PosixStorage(StorageAdapter):
         if time.time() - st.st_mtime <= grace_s:
             return False  # possibly a live writer (pre-seam partial write)
         if st.st_size == 0:
-            self.delete(key)
-            return True
+            return self._delete_if_unchanged(key, st)
         try:
             raw = self.get(key)
             if raw is not None:
                 json.loads(raw)
             return False  # complete, valid token: a real committed version
         except (json.JSONDecodeError, UnicodeDecodeError):
-            self.delete(key)
-            return True
+            return self._delete_if_unchanged(key, st)
+
+    @staticmethod
+    def _delete_if_unchanged(key: str, st0: os.stat_result) -> bool:
+        """Conditional delete guarding the inspect->remove TOCTOU: between
+        judging the token garbage and removing it, a concurrent loser may
+        have reclaimed the key and a retrying writer re-claimed it with a
+        VALID committed manifest — an unconditional delete would then drop a
+        committed version token. Re-stat and require the identity captured
+        BEFORE parsing ((ino, mtime_ns, size)) to still match; a fresh token
+        is always a NEW inode (put_if_absent publishes via hardlink from a
+        staging file), so any replacement fails the comparison."""
+        try:
+            st1 = os.stat(key)
+        except FileNotFoundError:
+            return False  # someone else already reclaimed it
+        if (st1.st_ino, st1.st_mtime_ns, st1.st_size) != (
+            st0.st_ino, st0.st_mtime_ns, st0.st_size
+        ):
+            return False  # replaced since inspection — not ours to touch
+        try:
+            os.remove(key)
+        except FileNotFoundError:
+            return False
+        return True
 
 
 class ConditionalPutStorage(StorageAdapter):

@@ -97,13 +97,20 @@ def stream_replay(
     # are always from before the restart.
     # normalize the path so the same Spark checkpoint referenced by a
     # different spelling on restart (relative vs absolute, trailing slash)
-    # still matches its own committed epochs
-    stream_ident = (
-        f"stream:{os.path.abspath(checkpoint_dir)}" if checkpoint_dir else ""
-    )
-    already_committed = (
-        cp.committed_batches(checksum=stream_ident) if checkpoint_dir else set()
-    )
+    # still matches its own committed epochs. A checkpoint-less stream gets
+    # a fresh per-run identity — its epochs can never be resumed anyway,
+    # but its checkpoint rows must STILL carry a 'stream:' prefix so the
+    # batch driver's exclude_streams filter sees them (checksum='' would
+    # alias batch ids and make a later batch replay skip batches it never
+    # ran).
+    if checkpoint_dir:
+        stream_ident = f"stream:{os.path.abspath(checkpoint_dir)}"
+        already_committed = cp.committed_batches(checksum=stream_ident)
+    else:
+        import uuid
+
+        stream_ident = f"stream:ephemeral:{uuid.uuid4().hex}"
+        already_committed = set()
 
     def apply_batch(df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
@@ -130,13 +137,21 @@ def stream_replay(
             committed_at=t1,
             duration_s=t1 - t0,
         )
+        # OSError only + stage marker: same rationale as plans/replay.py —
+        # storage outages go to the fallback file, real bugs surface, and a
+        # committed checkpoint is never misreported as failed when only the
+        # lineage append broke.
+        stage = "checkpoint"
         try:
             cp.commit(rec)
+            stage = "lineage"
             lin.append(epoch_id, st.bucket_rows)
-        except Exception as e:  # metadata store down — L2 fallback path
+        except OSError as e:  # metadata store down — L2 fallback path
             from dataclasses import asdict
 
-            fb.log("CHECKPOINT_WRITE_FAILED", str(e), batch_id=epoch_id,
+            fb.log("CHECKPOINT_WRITE_FAILED" if stage == "checkpoint"
+                   else "LINEAGE_WRITE_FAILED",
+                   str(e), batch_id=epoch_id,
                    record=asdict(rec), bucket_rows=st.bucket_rows)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
