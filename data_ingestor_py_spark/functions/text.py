@@ -255,6 +255,162 @@ def stratified_sample_rate(
     return df.where(_sha_bucket(key, 10_000, seed) < int(rate * 10_000))
 
 
+def repetition_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    line_len: int = 10,
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals, as pure Catalyst
+    expressions (no shuffle, no Python): per document —
+
+    - ``top2_cnt`` / ``n_2grams``: occurrences of the most frequent token
+      2-gram (Gopher's "fraction in most common n-gram" family),
+    - ``dup_lines`` / ``n_lines``: duplicate "lines" where a line is a
+      ``line_len``-token chunk (the dup-line/paragraph fraction rule,
+      adapted to single-line corpora),
+    - ``n_distinct`` / ``n_tokens``: vocabulary diversity,
+    - ``is_repetitive``: Gopher-ish flag via integer cross-multiplication
+      (top-2-gram frac > 0.20, dup-line frac > 0.30, or distinct-token
+      frac < 0.20) — all-integer outputs so the oracle compare is exact.
+
+    Everything folds inside one projection: the most-frequent-gram count is
+    max-consecutive-run over the SORTED gram array (array_sort + aggregate),
+    so no per-doc explode/groupBy shuffle — at 100 TB this is a map-only
+    stage that widens the scan's codegen span."""
+    toks = tokens(text_col)
+    n = F.size(toks)
+    grams = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+    top_cnt = F.aggregate(
+        F.array_sort(grams),
+        F.struct(
+            F.lit("").alias("prev"),
+            F.lit(0).cast("long").alias("run"),
+            F.lit(0).cast("long").alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1).cast("long")),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    n_lines = F.ceil(n / F.lit(line_len)).cast("long")
+    lines = F.transform(
+        F.sequence(F.lit(0), (n_lines - 1).cast("int")),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * line_len + 1, line_len)),
+    )
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    n_2grams = F.size(grams).cast("long")
+    n_distinct = F.size(F.array_distinct(toks)).cast("long")
+    nl = n.cast("long")
+    return df.select(
+        id_col,
+        nl.alias("n_tokens"),
+        n_2grams.alias("n_2grams"),
+        top_cnt.alias("top2_cnt"),
+        n_lines.alias("n_lines"),
+        dup_lines.cast("long").alias("dup_lines"),
+        n_distinct.alias("n_distinct"),
+        (
+            (top_cnt * 5 > n_2grams)
+            | (dup_lines * 10 > n_lines * 3)
+            | (n_distinct * 5 < nl)
+        ).alias("is_repetitive"),
+    )
+
+
+# PII patterns: RE2-safe subset (no backrefs/lookaround) so the Spark (Java
+# regex) and DuckDB (RE2) engines agree match-for-match.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+PII_PHONE = r"\+[0-9]{7,15}"
+
+
+def redact_pii(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-data PII scrub: replace emails / IPv4 addresses / intl
+    phone numbers with typed placeholders and count each. Applied in fixed
+    order (email -> ip -> phone) so the passes compose deterministically.
+    Pure `regexp_replace`/`regexp_count` — map-only, codegen'd, zero
+    Python; the at-scale cost is exactly one scan."""
+    t0 = F.col(text_col)
+    n_email = F.regexp_count(t0, F.lit(PII_EMAIL)).cast("long")
+    t1 = F.regexp_replace(t0, PII_EMAIL, "<EMAIL>")
+    n_ip = F.regexp_count(t1, F.lit(PII_IPV4)).cast("long")
+    t2 = F.regexp_replace(t1, PII_IPV4, "<IP>")
+    n_phone = F.regexp_count(t2, F.lit(PII_PHONE)).cast("long")
+    t3 = F.regexp_replace(t2, PII_PHONE, "<PHONE>")
+    return df.select(
+        id_col,
+        t3.alias("clean_text"),
+        n_email.alias("n_emails"),
+        n_ip.alias("n_ips"),
+        n_phone.alias("n_phones"),
+    )
+
+
+def _exact_isqrt(x: Column) -> Column:
+    """Exact integer sqrt of a non-negative BIGINT as an expression: IEEE
+    sqrt (correctly rounded, hence engine-portable) + ±1 integer
+    correction. Shared contract with the DuckDB oracle twin."""
+    s = F.floor(F.sqrt(x.cast("double"))).cast("long")
+    s = F.when(s * s > x, s - 1).otherwise(s)
+    return F.when((s + 1) * (s + 1) <= x, s + 1).otherwise(s)
+
+
+def mixture_sample(
+    df: DataFrame,
+    target_total: int,
+    domain_col: str = "source",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-weighted domain mixture sampling (the XLM-R / pretraining
+    corpus-mixing rule at alpha = 0.5): domain s gets sampling weight
+    w_s ∝ sqrt(n_s), so small domains are up-weighted relative to their
+    share and hot domains damped. Keep-decision per row is
+
+        H(seed:id) mod (n_s * Z)  <  w_s * target_total
+
+    with w_s = isqrt(n_s * 10^6) and Z = sum(w_s) — ALL-INTEGER math, so
+    the expected sample size is target_total (saturating at keep-all for
+    tiny domains) and the decision is bit-identical across engines and
+    partitionings (content-stable: reshuffling never changes the sample).
+
+    Scale shape: domain stats are one aggregate over a metadata-scale
+    group count; the per-row filter joins against the broadcast stats
+    relation — no corpus shuffle."""
+    stats = (
+        df.groupBy(domain_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn("_w", _exact_isqrt(F.col("_n") * F.lit(1_000_000)))
+    )
+    z = stats.agg(F.sum("_w").alias("_z"))
+    stats = F.broadcast(stats.crossJoin(F.broadcast(z)))
+    # raw engine-portable hash (no modulus — the keep rule supplies it)
+    raw = F.conv(
+        F.substring(
+            F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256), 1, 8
+        ),
+        16, 10,
+    ).cast("long")
+    return (
+        df.join(stats, domain_col)
+        .where(raw % (F.col("_n") * F.col("_z")) < F.col("_w") * F.lit(target_total))
+        .select(id_col, domain_col)
+    )
+
+
 def remove_high_df_tokens(
     df: DataFrame,
     max_df: float = 0.5,

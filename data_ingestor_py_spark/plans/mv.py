@@ -1,0 +1,204 @@
+"""Delta-maintained materialized aggregates over a :class:`TargetTable`.
+
+A CDC engine's downstream consumers rarely want the row-level table — they
+want aggregates (rows per repo, bytes per language, keys per tenant) that
+stay fresh as change batches land. Recomputing those from the full table
+after every batch is the 100 TB anti-pattern; the standard answer
+(incremental view maintenance — the same algebra Flink retraction streams
+and Materialize implement) is to fold only the *changelog* into the
+aggregate: every insert adds its contribution, every delete retracts the
+old image's, every update does both.
+
+This module implements exactly that on the engine's own primitives:
+
+- the delta comes from :meth:`TargetTable.diff_versions` with
+  ``old_image=True`` (manifest-pruned — only touched buckets are read, so
+  the refresh cost tracks the batch size, not the table size);
+- the aggregate state IS a :class:`TargetTable` keyed by the group columns
+  (so the MV inherits snapshots, time travel, CAS multi-writer safety, and
+  crash-safe commits for free);
+- refresh progress is tracked in the MV's own :class:`Checkpoint` — the
+  committed ``batch_id`` is the SOURCE snapshot version the MV reflects,
+  making refresh resumable and exactly-once in the same way replay is.
+
+Supported aggregates: ``COUNT(*)`` plus integer ``SUM`` columns — the
+self-maintainable subset under deletes (MIN/MAX need the base row set on
+retraction, i.e. a full re-aggregation of affected groups; that path is a
+plain ``read().groupBy`` and needs no machinery). Sums are maintained in
+BIGINT so incremental and full recompute agree bit-for-bit — float sums
+would drift by addition order, which is exactly what the oracle gate and
+``test_mv`` forbid.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint
+from data_ingestor_py_spark.plans.target import TargetTable
+from data_ingestor_py_spark.storage import StorageAdapter
+
+
+class IncrementalAggregate:
+    """A COUNT/SUM aggregate over a source table, maintained from its
+    changelog. ``group_cols`` may mix source key columns and payload
+    columns (payload group keys retract/insert across groups on update).
+    ``sum_cols`` is ``[(out_name, source_col), ...]``; sums are BIGINT.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        source: TargetTable,
+        group_cols: list[str],
+        sum_cols: list[tuple[str, str]] | None = None,
+        storage: StorageAdapter | None = None,
+    ):
+        self.spark = spark
+        self.source = source
+        self.group_cols = list(group_cols)
+        self.sum_cols = list(sum_cols or [])
+        self.table = TargetTable(spark, root, storage=storage)
+        self.cp = Checkpoint(spark, root, storage=self.table.io)
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        root: str,
+        source: TargetTable,
+        group_cols: list[str],
+        sum_cols: list[tuple[str, str]] | None = None,
+        num_buckets: int = 4,
+        storage: StorageAdapter | None = None,
+    ) -> "IncrementalAggregate":
+        cols = [("n_rows", "long")] + [(n, "long") for n, _ in (sum_cols or [])]
+        TargetTable.create(
+            spark, root, key_cols=list(group_cols), columns=cols,
+            num_buckets=num_buckets, storage=storage,
+        )
+        return cls(spark, root, source, group_cols, sum_cols, storage=storage)
+
+    # ---------------- state ----------------
+
+    def read(self) -> DataFrame:
+        """Current aggregate rows: group cols (as strings — TargetTable key
+        semantics) + ``n_rows`` + the sum columns."""
+        return self.table.read().select(
+            *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
+        )
+
+    def synced_version(self) -> int:
+        """Highest SOURCE snapshot version folded into the aggregate."""
+        done = self.cp.committed_batches()
+        return max(done) if done else 0
+
+    # ---------------- refresh ----------------
+
+    def refresh(self, upto_version: int | None = None) -> BatchRecord | None:
+        """Fold the source changelog ``(synced, upto]`` into the aggregate.
+
+        One manifest-pruned changelog scan + one aggregate-scale merge; the
+        MV write touches only groups present in the delta. Returns the
+        committed record, or None if already up to date. Safe to call after
+        every batch (the per-batch hook) or once per N batches — the
+        changelog composes, so both schedules land on the same state.
+        """
+        v_from = self.synced_version()
+        v_to = (
+            upto_version
+            if upto_version is not None
+            else self.source._load()["version"]
+        )
+        if v_to <= v_from:
+            return None
+        t0 = time.time()
+        key_cols = set(self.source._load()["key_cols"])
+        delta = self.source.diff_versions(v_from, v_to, old_image=True)
+
+        def img_col(c: str, old: bool):
+            # key columns are identical in both images (keys cannot change)
+            if c in key_cols or not old:
+                return F.col(c)
+            return F.col(f"_old_{c}")
+
+        def side(old: bool) -> DataFrame:
+            keep = delta.where(
+                F.col("_change_type") != ("I" if old else "D")
+            )
+            return keep.select(
+                *[
+                    img_col(g, old).cast("string").alias(g)
+                    for g in self.group_cols
+                ],
+                F.lit(-1 if old else 1).cast("long").alias("_sign"),
+                *[
+                    (F.lit(-1 if old else 1) * img_col(c, old).cast("long")).alias(n)
+                    for n, c in self.sum_cols
+                ],
+            )
+
+        contrib = side(old=False).unionByName(side(old=True))
+        d = contrib.groupBy(*self.group_cols).agg(
+            F.sum("_sign").alias("_d_rows"),
+            *[F.sum(n).alias(f"_d_{n}") for n, _ in self.sum_cols],
+        )
+
+        cur = self.table.read().select(
+            *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
+        )
+        cond = F.lit(True)
+        for g in self.group_cols:
+            cond = cond & d[g].eqNullSafe(cur[g])
+        j = d.join(cur, cond, "left_outer")
+        new_n = F.coalesce(cur["n_rows"], F.lit(0)) + d["_d_rows"]
+        upserts = j.select(
+            *[d[g].alias(g) for g in self.group_cols],
+            new_n.alias("n_rows"),
+            *[
+                (F.coalesce(cur[n], F.lit(0)) + d[f"_d_{n}"]).alias(n)
+                for n, _ in self.sum_cols
+            ],
+            F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+            F.lit(v_to).cast("long").alias("_seq"),
+            F.current_timestamp().alias("_ts"),
+        )
+        st = self.table.merge_apply(upserts, stats="light")
+        t1 = time.time()
+        rec = BatchRecord(
+            batch_id=v_to,
+            src_offset_start=v_from,
+            src_offset_end=v_to,
+            rows_in=st.rows_in,
+            rows_applied=st.rows_after_dedup,
+            touched_buckets=st.touched_buckets,
+            snapshot_version=st.snapshot_version,
+            checksum="",
+            status="COMMITTED",
+            started_at=t0,
+            committed_at=t1,
+            duration_s=t1 - t0,
+        )
+        self.cp.commit(rec)
+        return rec
+
+    # ---------------- verification ----------------
+
+    def recompute(self) -> DataFrame:
+        """Full recompute from the source's current visible state — the
+        O(table) reference the incremental path must equal exactly.
+        Used by tests and on-demand audits, never by the refresh loop."""
+        src = self.source.read()
+        return src.groupBy(
+            *[F.col(g).cast("string").alias(g) for g in self.group_cols]
+        ).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            *[
+                F.sum(F.col(c).cast("long")).alias(n)
+                for n, c in self.sum_cols
+            ],
+        )

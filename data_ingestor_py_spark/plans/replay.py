@@ -42,6 +42,7 @@ def replay(
     lineage: Lineage | None = None,
     prepare: Callable[[DataFrame, int], DataFrame] | None = None,
     on_batch_start: Callable[[int, TargetTable], None] | None = None,
+    on_batch_end: Callable[[int, TargetTable, BatchRecord], None] | None = None,
     checksum: bool = False,
     stats: str = "full",
     expire_keep: int = 0,
@@ -50,7 +51,12 @@ def replay(
     """Replay a list of event micro-batches into ``table``.
 
     ``prepare(df, batch_id)`` maps raw events to the table's columns (the
-    mapping-spec stage); ``on_batch_start`` is the schema-evolution hook.
+    mapping-spec stage); ``on_batch_start`` is the schema-evolution hook;
+    ``on_batch_end(i, table, record)`` runs after the batch's checkpoint
+    commit — the seam for downstream delta consumers (e.g.
+    :class:`plans.mv.IncrementalAggregate.refresh` per batch; an exception
+    there must not roll back the already-committed batch, so hook failures
+    propagate to the caller AFTER the checkpoint is durable).
     Returns the per-batch records that were committed this run.
 
     Checkpoint/lineage writes are guarded by the L2 fallback logger
@@ -118,5 +124,7 @@ def replay(
                 record=asdict(rec),
                 bucket_rows=st.bucket_rows,
             )
+        if on_batch_end is not None:
+            on_batch_end(i, table, rec)
         out.append(rec)
     return out

@@ -571,13 +571,20 @@ class TargetTable:
         self._commit_manifest(m)
         return MergeStats(-1, -1, len(written), new_v, [])
 
-    def diff_versions(self, v_old: int, v_new: int) -> DataFrame:
+    def diff_versions(
+        self, v_old: int, v_new: int, old_image: bool = False
+    ) -> DataFrame:
         """Incremental read (Iceberg changelog-scan analogue): row-level
         changes between two snapshots' VISIBLE states — what a downstream
         consumer replays to stay in sync without rescanning the table.
 
         Returns key cols + ``_change_type`` ('I'nsert / 'U'pdate /
         'D'elete) + the payload (new image for I/U, last old image for D).
+        ``old_image=True`` additionally emits every payload column's OLD
+        image as ``_old_<name>`` (NULL for I) — what a delta-maintained
+        downstream aggregate needs to retract an updated/deleted row's
+        previous contribution (the update_before/update_after split of a
+        Flink-style retraction stream, flattened into one row).
         NULL-safe on key columns (a NULL key is a real key here).
 
         Manifest-pruned: bucket data files are immutable (copy-on-write,
@@ -631,9 +638,15 @@ class TargetTable:
         keys = [
             F.coalesce(F.col(f"_kn_{c}"), F.col(f"_ko_{c}")).alias(c) for c in key_cols
         ]
+        extra = (
+            [F.col("_o")[c].alias(f"_old_{c}") for c in payload] if old_image else []
+        )
         return (
             j.where(changed)
-            .select(*keys, ct.alias("_change_type"), *[img[c].alias(c) for c in payload])
+            .select(
+                *keys, ct.alias("_change_type"),
+                *[img[c].alias(c) for c in payload], *extra,
+            )
         )
 
     def rewrite_partition_spec(
@@ -676,6 +689,83 @@ class TargetTable:
         m["history"].append(
             {"at": time.time(), "snapshot": new_v, "op": "rewrite_partition_spec",
              "num_buckets": new_num_buckets, "bucket_cols": bucket_cols}
+        )
+        self._commit_manifest(m)
+        return new_v
+
+    def rewrite_data_files(
+        self, bucket_ids: list[int] | None = None, stale_after: int = 8
+    ) -> int | None:
+        """Maintenance: Iceberg ``rewrite_data_files`` analogue — physically
+        rewrite live bucket files into a fresh snapshot dir at the CURRENT
+        schema, with no change to visible state, bucket layout, or history
+        semantics. Two reasons this matters at 100 TB:
+
+        - **schema debt**: a bucket written under an old schema version pays
+          the ``_align`` projection on EVERY subsequent read; rewriting it
+          once retires that cost (Iceberg migration of old-spec files).
+        - **prefix sprawl / snapshot pinning**: copy-on-write touches only
+          changed buckets, so cold buckets keep entire old ``snap-*`` dirs
+          alive indefinitely; consolidating them lets ``expire_snapshots``
+          actually delete those prefixes (object-listing pressure, S3
+          lifecycle hygiene).
+
+        Selection: explicit ``bucket_ids``, else every bucket written under
+        a non-current schema or living in a snapshot more than
+        ``stale_after`` versions old. ZERO-shuffle: input files are
+        bucket-pure (one bucket per file by construction), so the
+        ``partitionBy`` write needs no repartition — each scan task writes
+        only its own bucket's rows. Raw state is copied verbatim (tombstones
+        travel; ``purge_tombstones`` is the separate, seq-guarded op that
+        may drop them). Commits through the CAS protocol; on
+        :class:`CommitConflict` (a racing merge won the version) simply call
+        again — compaction has no work to lose. Returns the new snapshot
+        version, or None if nothing qualified."""
+        m = self._load()
+        cur_schema = m["current_schema"]
+        v = m["version"]
+
+        def _snap_v(rel: str) -> int:
+            # rel is "snap-NNNNNN-xxxx/bkt=B"
+            return int(rel.split("-")[1])
+
+        if bucket_ids is None:
+            bucket_ids = sorted(
+                int(b)
+                for b, e in m["buckets"].items()
+                if e["schema"] != cur_schema or _snap_v(e["path"]) < v - stale_after
+            )
+        bucket_ids = [b for b in bucket_ids if str(b) in m["buckets"]]
+        if not bucket_ids:
+            return None
+        bucket_cols = m.get("bucket_cols", m["key_cols"])
+        out = self._state_df(m, bucket_ids).withColumn(
+            "bkt", _bucket_expr(bucket_cols, m["num_buckets"])
+        )
+        new_v = v + 1
+        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, rel)
+        out.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
+        written = {
+            int(d.split("=")[1])
+            for d in self.io.list_dirs(out_dir)
+            if d.startswith("bkt=")
+        }
+        for b in bucket_ids:
+            if b in written:
+                old = m["buckets"][str(b)]
+                entry = {"path": f"{rel}/bkt={b}", "schema": cur_schema}
+                if "ts_ub" in old:
+                    entry["ts_ub"] = old["ts_ub"]
+                m["buckets"][str(b)] = entry
+            else:
+                # empty bucket (zero raw rows): no file written, drop the
+                # entry — reads of a missing entry yield nothing, same state
+                m["buckets"].pop(str(b), None)
+        m["version"] = new_v
+        m["history"].append(
+            {"at": time.time(), "snapshot": new_v, "op": "rewrite_data_files",
+             "buckets": sorted(bucket_ids)}
         )
         self._commit_manifest(m)
         return new_v

@@ -1,0 +1,183 @@
+"""Debezium-envelope CDC ingestion (binlog/WAL tail wire format).
+
+The reference tails *files* and hand-parses them into column-mapped rows
+(msgbroker/file_producer.py:231-307); the industry-standard equivalent of
+its input stage for a database binlog is the Debezium change-event
+envelope: one JSON object per change with ``op`` ('c'reate / 'r'ead
+snapshot / 'u'pdate / 'd'elete), ``before`` / ``after`` row images,
+``ts_ms``, and a ``source`` block carrying the log position (LSN / binlog
+pos). This module parses that envelope into the engine's normalized
+change-event frame entirely in Catalyst: ``from_json`` with an explicit
+schema, no Python in the row path, splittable JSON-lines input.
+
+Normalization contract (what ``plans/replay.replay`` consumes):
+  - ``_op``  : 'U' for c/r/u (upsert semantics — the merge treats a create
+               and an update identically), 'D' for d.
+  - ``_seq`` : total order per key — ``source.lsn`` when present, else
+               ``ts_ms`` (Debezium guarantees LSN monotonicity per
+               partition; the merge's max-``_seq`` dedup absorbs replays).
+  - ``_ts``  : event timestamp from ``ts_ms``.
+  - row payload columns from ``after`` (``before`` for deletes — the last
+    committed image, which is what a tombstone needs for lineage).
+
+Kafka-compacted topics interleave *tombstone* records (entire value NULL)
+after deletes; those parse to a NULL envelope and are dropped (the 'd'
+event itself is the delete — the tombstone is a broker-level compaction
+hint, not a change).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_TYPE_MAP = {
+    "string": T.StringType(),
+    "long": T.LongType(),
+    "int": T.IntegerType(),
+    "double": T.DoubleType(),
+    "boolean": T.BooleanType(),
+    "timestamp": T.TimestampType(),
+}
+
+
+def debezium_schema(row_fields: list[tuple[str, str]]) -> T.StructType:
+    """Envelope schema for ``from_json`` given the table's row fields as
+    (name, type) pairs — types from the engine's spec vocabulary
+    (string/long/int/double/boolean/timestamp)."""
+    row = T.StructType(
+        [T.StructField(n, _TYPE_MAP[t], True) for n, t in row_fields]
+    )
+    return T.StructType(
+        [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("before", row, True),
+            T.StructField("after", row, True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                "source",
+                T.StructType(
+                    [
+                        T.StructField("lsn", T.LongType(), True),
+                        T.StructField("table", T.StringType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+
+
+def parse_debezium(
+    df: DataFrame,
+    row_fields: list[tuple[str, str]],
+    value_col: str = "value",
+) -> DataFrame:
+    """Parse a column of Debezium-envelope JSON strings into normalized
+    change events. Pure Catalyst (`from_json`): whole-stage codegen, no
+    Python. Malformed lines parse to NULL envelopes and are dropped with
+    tombstones (PERMISSIVE by construction — route the raw column to a
+    dead-letter sink upstream if you need them)."""
+    env = F.from_json(F.col(value_col), debezium_schema(row_fields))
+    is_del = env["op"] == "d"
+    image = F.when(is_del, env["before"]).otherwise(env["after"])
+    out = [image[n].alias(n) for n, _ in row_fields]
+    return (
+        df.select(
+            *out,
+            env["op"].alias("src_op"),
+            F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+            F.coalesce(env["source"]["lsn"], env["ts_ms"]).alias("_seq"),
+            F.timestamp_millis(env["ts_ms"]).alias("_ts"),
+        )
+        # tombstones / malformed: no op -> not a change event
+        .where(F.col("src_op").isNotNull())
+    )
+
+
+def read_debezium_json(
+    spark: SparkSession,
+    path: str,
+    row_fields: list[tuple[str, str]],
+) -> DataFrame:
+    """Scan a directory (or file) of Debezium JSON-lines and normalize.
+    ``spark.read.text`` keeps the input splittable — at 100 TB the scan
+    parallelizes per HDFS/S3 block, and the from_json projection runs
+    inside the same codegen stage (no shuffle until the merge)."""
+    return parse_debezium(spark.read.text(path), row_fields, value_col="value")
+
+
+_DTYPE_TO_SPEC = {
+    "string": "string",
+    "bigint": "long",
+    "int": "int",
+    "double": "double",
+    "boolean": "boolean",
+    "timestamp": "timestamp",
+}
+
+
+def write_debezium_changelog(
+    table,
+    v_from: int,
+    v_to: int,
+    path: str,
+    table_name: str = "table",
+) -> list[tuple[str, str]]:
+    """CDC OUT: publish a snapshot range's changelog as Debezium-envelope
+    JSON-lines — the wire format a downstream Kafka/Debezium consumer (or
+    another instance of this engine, via :func:`read_debezium_json`)
+    replays to stay in sync. Closes the loop: the engine both tails a
+    binlog and *is* one.
+
+    Envelope mapping: I -> 'c', U -> 'u', D -> 'd' (image in ``before``);
+    ``source.lsn`` = the row's ``_seq``, ``ts_ms`` = the row's ``_ts`` —
+    engine bookkeeping rides at the ENVELOPE level (as in real Debezium),
+    so the row image carries only user columns. Caveat: a 'd' envelope's
+    lsn is the deleted row's LAST IMAGE seq (visible-state diff semantics
+    — the deleting tombstone's own seq is not part of either visible
+    state); a consumer replaying segmented changelogs should treat the
+    envelope stream as source-ordered rather than comparing lsn across
+    segments. The write is the manifest-pruned ``diff_versions`` scan plus
+    a map-only serialize — no extra shuffle. Returns the row_fields spec a
+    reader needs to parse the output back."""
+    d = table.diff_versions(v_from, v_to)
+    ct = F.col("_change_type")
+    data_cols = [
+        c for c in d.columns if c not in ("_change_type", "_op", "_seq", "_ts")
+    ]
+    row = F.struct(*[F.col(c) for c in data_cols])
+    op = F.when(ct == "D", F.lit("d")).when(ct == "I", F.lit("c")).otherwise(F.lit("u"))
+    env = to_debezium_json(
+        row, op, F.unix_millis(F.col("_ts")), F.col("_seq"), table_name
+    )
+    d.select(env.alias("value")).write.mode("overwrite").text(path)
+    dt = dict(d.dtypes)
+    return [(c, _DTYPE_TO_SPEC[dt[c]]) for c in data_cols]
+
+
+def to_debezium_json(
+    row: Column,
+    op: Column,
+    ts_ms: Column,
+    lsn: Column,
+    table_name: str = "events",
+) -> Column:
+    """Inverse of ``parse_debezium`` for one row image: serialize a struct
+    column into an envelope JSON string (used by tests/gates to synthesize
+    a binlog from a relational table; also the shape a sink would emit to
+    feed a downstream Debezium consumer). NULL fields are omitted (the
+    Debezium/Kafka-Connect JSON converter's default)."""
+    is_del = op == "d"
+    return F.to_json(
+        F.struct(
+            op.alias("op"),
+            F.when(is_del, row).alias("before"),
+            F.when(~is_del, row).alias("after"),
+            ts_ms.alias("ts_ms"),
+            F.struct(
+                lsn.alias("lsn"), F.lit(table_name).alias("table")
+            ).alias("source"),
+        )
+    )
