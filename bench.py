@@ -51,6 +51,11 @@ HEADLINE = [
     "strip_boilerplate_highdf",  # added r3: corpus df-threshold strip
     "decontaminate_benchmark",  # added r3: eval-set n-gram overlap filter
     "kmeans_centroids",  # added r3: IVF coarse-quantizer Lloyd training
+    "debezium_roundtrip",  # added r4: CDC wire-format serialize->parse
+    "incremental_mv_lang_counts",  # added r4: delta-maintained aggregate
+    "repetition_gopher",  # added r4: shuffle-free repetition metrics
+    "redact_pii",  # added r4: PII scrub (regex, map-only)
+    "mixture_sample",  # added r4: temperature-weighted domain mixing
 ]
 
 

@@ -255,6 +255,16 @@ def stratified_sample_rate(
     return df.where(_sha_bucket(key, 10_000, seed) < int(rate * 10_000))
 
 
+def token_bigrams(toks: Column) -> Column:
+    """Adjacent-token 2-grams of a token array as ``"a b"`` strings
+    (empty array when there are fewer than 2 tokens)."""
+    n = F.size(toks)
+    return F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
+    )).otherwise(F.array().cast("array<string>"))
+
+
 def repetition_metrics(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -280,10 +290,7 @@ def repetition_metrics(
     stage that widens the scan's codegen span."""
     toks = tokens(text_col)
     n = F.size(toks)
-    grams = F.when(n >= 2, F.transform(
-        F.sequence(F.lit(1), n - 1),
-        lambda i: F.concat_ws(" ", F.element_at(toks, i), F.element_at(toks, i + 1)),
-    )).otherwise(F.array().cast("array<string>"))
+    grams = token_bigrams(toks)
     top_cnt = F.aggregate(
         F.array_sort(grams),
         F.struct(
@@ -302,10 +309,11 @@ def repetition_metrics(
         lambda acc: acc["best"],
     )
     n_lines = F.ceil(n / F.lit(line_len)).cast("long")
-    lines = F.transform(
+    # guard n_lines=0: sequence(0, -1) would generate a DESCENDING range
+    lines = F.when(n_lines >= 1, F.transform(
         F.sequence(F.lit(0), (n_lines - 1).cast("int")),
         lambda i: F.concat_ws(" ", F.slice(toks, i * line_len + 1, line_len)),
-    )
+    )).otherwise(F.array().cast("array<string>"))
     dup_lines = n_lines - F.size(F.array_distinct(lines))
     n_2grams = F.size(grams).cast("long")
     n_distinct = F.size(F.array_distinct(toks)).cast("long")
@@ -323,6 +331,51 @@ def repetition_metrics(
             | (dup_lines * 10 > n_lines * 3)
             | (n_distinct * 5 < nl)
         ).alias("is_repetitive"),
+    )
+
+
+def bigram_lm_metrics(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+) -> DataFrame:
+    """N-gram language-model quality proxy (the KenLM-filter shape without
+    the KenLM binary): score each document by the fraction of its token
+    bigrams that are in-vocabulary for a bigram model trained on the corpus
+    itself — a bigram is "known" if it occurs >= ``min_count`` times
+    corpus-wide. Fluent text reuses common continuations; gibberish and
+    boilerplate-mangled text does not.
+
+    Distributed shape (the part KenLM can't give you at 100 TB): the model
+    IS a DataFrame — (1) one explode+groupBy builds the corpus bigram
+    counts, (2) one equi-join on the gram string + per-doc count scores
+    every document. The model table is corpus-derived and unbounded, so it
+    is NOT broadcast (contrast ``decontaminate``'s small eval set); the
+    gram join is a plain shuffle join that AQE handles, and the known-set
+    is pre-shrunk by the ``min_count`` filter before the join. All-integer
+    outputs; ``is_fluent`` = more than 80% known bigrams (and at least
+    one)."""
+    grams = token_bigrams(tokens(text_col))
+    exploded = df.select(F.col(id_col), F.explode(grams).alias("gram"))
+    known = (
+        exploded.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .select("gram")
+    )
+    hits = (
+        exploded.join(known, "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_known"))
+    )
+    base = df.select(F.col(id_col), F.size(grams).cast("long").alias("n_bigrams"))
+    n_known = F.coalesce(F.col("n_known"), F.lit(0)).cast("long")
+    return base.join(hits, id_col, "left").select(
+        id_col,
+        "n_bigrams",
+        n_known.alias("n_known"),
+        ((F.col("n_bigrams") > 0) & (n_known * 5 > F.col("n_bigrams") * 4)).alias("is_fluent"),
     )
 
 

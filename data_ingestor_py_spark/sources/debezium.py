@@ -96,6 +96,25 @@ def parse_debezium(
     )
 
 
+def dead_letters(
+    df: DataFrame,
+    row_fields: list[tuple[str, str]],
+    value_col: str = "value",
+) -> DataFrame:
+    """The complement of :func:`parse_debezium`: raw lines that are neither
+    parseable change events nor Kafka tombstones (empty values). Route this
+    to a quarantine sink — at-least-once CDC pipelines must account for
+    every input line, and silently dropping malformed ones loses the
+    operator's only debugging signal (the reference logs these at WARN and
+    moves on, logger/sqllogger.py pattern; a lake engine quarantines)."""
+    env = F.from_json(F.col(value_col), debezium_schema(row_fields))
+    return df.where(
+        F.col(value_col).isNotNull()
+        & (F.length(F.trim(F.col(value_col))) > 0)
+        & env["op"].isNull()
+    ).select(F.col(value_col).alias("raw"))
+
+
 def read_debezium_json(
     spark: SparkSession,
     path: str,

@@ -1,0 +1,92 @@
+"""Round-4b: bigram LM quality metrics, Debezium dead-letter capture, and
+MV refresh over a STREAMING-written source table."""
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.functions.text import bigram_lm_metrics
+from data_ingestor_py_spark.plans.mv import IncrementalAggregate
+from data_ingestor_py_spark.sources.debezium import dead_letters, parse_debezium
+from data_ingestor_py_spark.sources.generator import change_events
+from data_ingestor_py_spark.streaming.stream_replay import stream_replay
+from tests.conftest import make_table
+
+ROW_FIELDS = [("repo", "string"), ("path", "string"), ("value", "double")]
+
+
+def test_bigram_lm_metrics_vs_python(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    corpus = Counter()
+    per_doc = {}
+    for r in rows:
+        toks = [t for t in r["text"].split(" ") if t]
+        grams = [f"{toks[i]} {toks[i+1]}" for i in range(len(toks) - 1)]
+        per_doc[r["doc_id"]] = grams
+        corpus.update(grams)
+    known = {g for g, c in corpus.items() if c >= 5}
+    out = {r["doc_id"]: r for r in bigram_lm_metrics(docs).collect()}
+    assert set(out) == set(per_doc)
+    for doc_id, grams in per_doc.items():
+        n_known = sum(1 for g in grams if g in known)
+        o = out[doc_id]
+        assert (o["n_bigrams"], o["n_known"]) == (len(grams), n_known), doc_id
+        assert o["is_fluent"] == (len(grams) > 0 and n_known * 5 > len(grams) * 4)
+
+
+def test_bigram_lm_flags_gibberish(spark):
+    base = [(i, "the quick brown fox jumps over the lazy dog") for i in range(20)]
+    docs = spark.createDataFrame(
+        base + [(100, "zxq wvu tsr qpo nml kji")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in bigram_lm_metrics(docs, min_count=5).collect()}
+    assert out[0]["is_fluent"]
+    assert not out[100]["is_fluent"] and out[100]["n_known"] == 0
+
+
+def test_dead_letters_complement_parse(spark):
+    lines = [
+        ('{"op":"c","after":{"repo":"r","path":"p","value":1.0},"ts_ms":1,'
+         '"source":{"lsn":1,"table":"t"}}',),
+        ("",),                      # tombstone: neither parsed nor dead
+        ("   ",),                   # whitespace-only: tombstone-equivalent
+        ("garbage {{{",),           # dead letter
+        ('{"no_op_field": 1}',),    # dead letter
+        (None,),                    # null value: tombstone-equivalent
+    ]
+    df = spark.createDataFrame(lines, "value string")
+    parsed = parse_debezium(df, ROW_FIELDS)
+    dead = dead_letters(df, ROW_FIELDS)
+    assert parsed.count() == 1
+    assert sorted(r["raw"] for r in dead.collect()) == [
+        "garbage {{{", '{"no_op_field": 1}'
+    ]
+
+
+def test_mv_refresh_over_streamed_table(spark, tmp_path):
+    """The MV folds changelogs regardless of HOW the source snapshots were
+    produced: a streaming replay's epochs refresh identically to batch."""
+    ev = change_events(spark, 2000, n_repos=10, paths_per_repo=10, seed=41)
+    src = str(tmp_path / "events")
+    ev.repartition(2).write.parquet(src)
+    t = make_table(spark, tmp_path / "t")
+    schema = (
+        "event_id long, repo string, path string, commit string, _seq long, "
+        "_op string, _ts timestamp, lang string, content string, _schema_version int"
+    )
+    prep = lambda df, _e=0: df.withColumn(  # noqa: E731
+        "_content_sha256", F.sha2(F.col("content"), 256)
+    ).select("repo", "path", "commit", "lang", "content", "_content_sha256",
+             "_seq", "_op", "_ts")
+    q = stream_replay(spark, src, schema, t, prepare=prep,
+                      checkpoint_dir=str(tmp_path / "cp"), max_files_per_trigger=1)
+    q.awaitTermination(120)
+    mv = IncrementalAggregate.create(
+        spark, str(tmp_path / "mv"), t,
+        group_cols=["lang"], sum_cols=[("sum_seq", "_seq")],
+    )
+    mv.refresh()
+    got = sorted(tuple(r) for r in mv.read().collect())
+    want = sorted(tuple(r) for r in mv.recompute().collect())
+    assert got == want and got

@@ -52,6 +52,7 @@ def test_repetition_flags_degenerate_docs(spark):
     assert not out[2]["is_repetitive"]
     assert out[3]["n_2grams"] == 0 and out[3]["top2_cnt"] == 0
     assert out[4]["n_tokens"] == 0 and not out[4]["is_repetitive"]
+    assert out[4]["n_lines"] == 0 and out[4]["dup_lines"] == 0
 
 
 def test_repetition_plan_is_shuffle_free(spark):
