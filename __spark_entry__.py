@@ -921,6 +921,41 @@ def q_bigram_lm(spark, sf_dir):
     return T.bigram_lm_metrics(_t(spark, sf_dir, "documents"))
 
 
+def q_scd2_history(spark, sf_dir):
+    """Incrementally-maintained SCD Type-2 history (plans/scd.py): the
+    events CDC stream folded through scd2_apply in 4 sequential batches
+    (a binlog tail is per-key ordered across batches); oracle = the whole
+    history reconstructed in one SQL window pass. Equality proves the
+    open/close merge arithmetic batch-by-batch."""
+    from data_ingestor_py_spark.plans.scd import (
+        create_history_table,
+        read_history,
+        scd2_apply,
+    )
+
+    key = ("scd2", sf_dir)
+    if key not in _REPLAY_CACHE:
+        cdc = _events_cdc(spark, sf_dir).select("repo", "path", "value", "_seq", "_op", "_ts")
+        root = tempfile.mkdtemp(prefix="ingestor-scd2-")
+        os.rmdir(root)
+        h = create_history_table(
+            spark, root, ["repo", "path"], [("value", "double")], num_buckets=16
+        )
+        mx = cdc.agg(F.max("_seq")).collect()[0][0]
+        for i in range(4):
+            b = cdc.where((F.col("_seq") * 4 / (mx + 1)).cast("int") == i)
+            scd2_apply(h, b, ["repo", "path"], ["value"])
+        _REPLAY_CACHE[key] = root
+    h = TargetTable(spark, _REPLAY_CACHE[key])
+    from data_ingestor_py_spark.plans.scd import read_history as _rh
+
+    return _rh(h).select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        "value", "valid_from", "valid_to", "is_current",
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """Temperature-weighted (alpha=0.5) domain mixture sample, target 200
     docs: all-integer keep rule (exact isqrt weights), so the oracle
@@ -985,11 +1020,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redact_pii": q_redact_pii,
         "mixture_sample": q_mixture_sample,
         "bigram_lm_fluency": q_bigram_lm,
+        "scd2_history": q_scd2_history,
         "vocab_top100": q_vocab_top100,
-        "topk_orders_by_value": q_topk_orders_by_value,
         # ---- tail: outside the driver's 50-query window (stable since
         # r1/r2, every one green in each round it ran, still value-checked
         # every round by tools/check_oracles.py) ----
+        "topk_orders_by_value": q_topk_orders_by_value,
         "running_revenue_window": q_running_revenue_window,
         "pipeline_training_prep": q_pipeline_training_prep,
         "excel_roundtrip_scan": q_excel_roundtrip_scan,
@@ -1730,6 +1766,14 @@ def oracle_sql() -> dict[str, str]:
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"GROUP BY 1"
         ),
+        "scd2_history": (
+            f"WITH w AS (SELECT *, lead(event_id) OVER "
+            f"(PARTITION BY user_id, k ORDER BY event_id) AS valid_to "
+            f"FROM ({cdc_base})) "
+            f"SELECT user_id, k, value, event_id AS valid_from, valid_to, "
+            f"valid_to IS NULL AS is_current "
+            f"FROM w WHERE event_type <> 'error'"
+        ),
         "repetition_gopher": _repetition_sql(),
         "redact_pii": _redact_pii_sql(),
         "mixture_sample": _mixture_sample_sql(),
@@ -1808,7 +1852,9 @@ def _redact_pii_sql() -> str:
 def _mixture_sample_sql(target: int = 200) -> str:
     """DuckDB twin of text.mixture_sample: identical all-integer keep rule
     (exact isqrt weights via IEEE sqrt + integer correction)."""
-    h = HASH_SQL.format(x="'42:' || CAST(d.doc_id AS VARCHAR)")
+    # 60-bit hash (15 hex chars), matching text.mixture_sample's width —
+    # the keep-rule modulus n_s*Z exceeds 2^32 on real domain sizes
+    h = "('0x' || substr(sha256('42:' || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT"
     return (
         "WITH stats AS (SELECT source, count(*) AS n FROM documents GROUP BY source), "
         "s0 AS (SELECT source, n, n * 1000000 AS x, "

@@ -56,6 +56,8 @@ HEADLINE = [
     "repetition_gopher",  # added r4: shuffle-free repetition metrics
     "redact_pii",  # added r4: PII scrub (regex, map-only)
     "mixture_sample",  # added r4: temperature-weighted domain mixing
+    "bigram_lm_fluency",  # added r4: corpus bigram-LM scoring
+    "scd2_history",  # added r4: incremental SCD2 history maintenance
 ]
 
 

@@ -160,14 +160,20 @@ def build_vocab(df: DataFrame, text_col: str = "text", top_k: int = 100) -> Data
     )
 
 
-def _sha_bucket(c: Column, mod: int, seed: int = 42) -> Column:
-    """Engine-portable hash bucket: int(sha256(f"{seed}:{v}")[:8], 16) % mod
-    (DuckDB twin: ('0x'||substr(sha256('{seed}:'||v),1,8))::BIGINT % mod)."""
-    h = F.conv(
-        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), c.cast("string")), 256), 1, 8),
+def _sha_long(c: Column, seed: int = 42, nchars: int = 8) -> Column:
+    """Engine-portable salted hash: int(sha256(f"{seed}:{v}")[:nchars], 16)
+    (DuckDB twin: ('0x'||substr(sha256('{seed}:'||v),1,nchars))::BIGINT).
+    nchars=8 gives 32 bits; 15 gives 60 bits (the most that fits a signed
+    BIGINT in both engines) for callers whose modulus can exceed 2^32."""
+    return F.conv(
+        F.substring(F.sha2(F.concat(F.lit(f"{seed}:"), c.cast("string")), 256), 1, nchars),
         16, 10,
     ).cast("long")
-    return h % mod
+
+
+def _sha_bucket(c: Column, mod: int, seed: int = 42) -> Column:
+    """32-bit variant of :func:`_sha_long`, reduced mod ``mod``."""
+    return _sha_long(c, seed) % mod
 
 
 def pack_sequences(
@@ -459,6 +465,13 @@ def mixture_sample(
     tiny domains) and the decision is bit-identical across engines and
     partitionings (content-stable: reshuffling never changes the sample).
 
+    The hash is 60-bit (15 sha256 hex chars — the widest that fits a
+    signed BIGINT in both engines), so the keep rule stays exact while
+    ``n_s * Z`` <= 2^60 — domains up to ~10^10 docs. A 32-bit hash here
+    would silently break the expected-size contract for any domain beyond
+    ~26k docs (raw % M == raw once M > 2^32, inflating keep-probability
+    by orders of magnitude).
+
     Scale shape: domain stats are one aggregate over a metadata-scale
     group count; the per-row filter joins against the broadcast stats
     relation — no corpus shuffle."""
@@ -469,13 +482,8 @@ def mixture_sample(
     )
     z = stats.agg(F.sum("_w").alias("_z"))
     stats = F.broadcast(stats.crossJoin(F.broadcast(z)))
-    # raw engine-portable hash (no modulus — the keep rule supplies it)
-    raw = F.conv(
-        F.substring(
-            F.sha2(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string")), 256), 1, 8
-        ),
-        16, 10,
-    ).cast("long")
+    # raw engine-portable 60-bit hash (no modulus — the keep rule supplies it)
+    raw = _sha_long(F.col(id_col), seed, nchars=15)
     return (
         df.join(stats, domain_col)
         .where(raw % (F.col("_n") * F.col("_z")) < F.col("_w") * F.lit(target_total))

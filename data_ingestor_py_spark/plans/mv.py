@@ -42,6 +42,13 @@ from data_ingestor_py_spark.plans.target import TargetTable
 from data_ingestor_py_spark.storage import StorageAdapter
 
 
+class RefreshGapError(RuntimeError):
+    """The MV lags behind the source's snapshot retention: the changelog
+    base version has been expired (``expire_snapshots``) and can no longer
+    be diffed. Recover with :meth:`IncrementalAggregate.reseed` (or call
+    ``refresh(auto_reseed=True)``)."""
+
+
 class IncrementalAggregate:
     """A COUNT/SUM aggregate over a source table, maintained from its
     changelog. ``group_cols`` may mix source key columns and payload
@@ -99,7 +106,9 @@ class IncrementalAggregate:
 
     # ---------------- refresh ----------------
 
-    def refresh(self, upto_version: int | None = None) -> BatchRecord | None:
+    def refresh(
+        self, upto_version: int | None = None, auto_reseed: bool = False
+    ) -> BatchRecord | None:
         """Fold the source changelog ``(synced, upto]`` into the aggregate.
 
         One manifest-pruned changelog scan + one aggregate-scale merge; the
@@ -107,6 +116,10 @@ class IncrementalAggregate:
         committed record, or None if already up to date. Safe to call after
         every batch (the per-batch hook) or once per N batches — the
         changelog composes, so both schedules land on the same state.
+
+        If the MV lags beyond the source's snapshot retention (the base
+        version was expired), raises :class:`RefreshGapError` — or, with
+        ``auto_reseed=True``, falls back to a full :meth:`reseed`.
         """
         v_from = self.synced_version()
         v_to = (
@@ -118,7 +131,17 @@ class IncrementalAggregate:
             return None
         t0 = time.time()
         key_cols = set(self.source._load()["key_cols"])
-        delta = self.source.diff_versions(v_from, v_to, old_image=True)
+        try:
+            delta = self.source.diff_versions(v_from, v_to, old_image=True)
+        except FileNotFoundError as e:
+            if auto_reseed:
+                return self.reseed()
+            raise RefreshGapError(
+                f"cannot diff source versions {v_from}->{v_to}: a manifest "
+                "was expired from under the MV (snapshot retention shorter "
+                "than the refresh lag). Call reseed() — full recompute at "
+                "the current version — then resume incremental refreshes."
+            ) from e
 
         def img_col(c: str, old: bool):
             # key columns are identical in both images (keys cannot change)
@@ -172,6 +195,54 @@ class IncrementalAggregate:
         rec = BatchRecord(
             batch_id=v_to,
             src_offset_start=v_from,
+            src_offset_end=v_to,
+            rows_in=st.rows_in,
+            rows_applied=st.rows_after_dedup,
+            touched_buckets=st.touched_buckets,
+            snapshot_version=st.snapshot_version,
+            checksum="",
+            status="COMMITTED",
+            started_at=t0,
+            committed_at=t1,
+            duration_s=t1 - t0,
+        )
+        self.cp.commit(rec)
+        return rec
+
+    def reseed(self) -> BatchRecord:
+        """Rebuild the aggregate from the source's CURRENT visible state
+        (one full recompute — O(source), the cost incremental refresh
+        normally avoids) and mark it synced at the current version. The
+        recovery path when the changelog base has been expired; also the
+        bootstrap for attaching an MV to an already-populated table
+        without replaying its history."""
+        v_to = self.source._load()["version"]
+        t0 = time.time()
+        want = self.recompute()
+        cur = self.table.read().select(
+            *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
+        )
+        cond = F.lit(True)
+        for g in self.group_cols:
+            cond = cond & want[g].eqNullSafe(cur[g])
+        j = want.join(cur, cond, "full_outer")
+        present = want["n_rows"].isNotNull()
+        upserts = j.select(
+            *[F.coalesce(want[g], cur[g]).alias(g) for g in self.group_cols],
+            F.coalesce(want["n_rows"], F.lit(0)).alias("n_rows"),
+            *[
+                F.coalesce(want[n], F.lit(0)).alias(n)
+                for n, _ in self.sum_cols
+            ],
+            F.when(present, F.lit("U")).otherwise(F.lit("D")).alias("_op"),
+            F.lit(v_to).cast("long").alias("_seq"),
+            F.current_timestamp().alias("_ts"),
+        )
+        st = self.table.merge_apply(upserts, stats="light")
+        t1 = time.time()
+        rec = BatchRecord(
+            batch_id=v_to,
+            src_offset_start=-1,  # full rebuild, not a changelog fold
             src_offset_end=v_to,
             rows_in=st.rows_in,
             rows_applied=st.rows_after_dedup,

@@ -109,8 +109,10 @@ def replay(
         # stage marker distinguishes a failed checkpoint write from a
         # checkpoint that COMMITTED whose lineage append then failed.
         stage = "checkpoint"
+        checkpointed = False
         try:
             cp.commit(rec)
+            checkpointed = True
             stage = "lineage"
             lin.append(i, st.bucket_rows)
         except OSError as e:  # metadata store down — L2 fallback path
@@ -124,7 +126,12 @@ def replay(
                 record=asdict(rec),
                 bucket_rows=st.bucket_rows,
             )
-        if on_batch_end is not None:
+        # hook contract: fires only once the checkpoint is DURABLE. When
+        # the checkpoint write itself fell back, the batch will re-apply
+        # on resume and the hook fires then — so consumers see the batch
+        # exactly once provided they are idempotent per batch id (the
+        # fallback-resume path re-fires like any crash-replay would).
+        if on_batch_end is not None and checkpointed:
             on_batch_end(i, table, rec)
         out.append(rec)
     return out

@@ -216,6 +216,29 @@ class TargetTable:
             + [m["seq_col"], "_op", "_ts"]
         )
 
+    def _write_snap_dir(self, df: DataFrame, new_v: int) -> tuple[str, str]:
+        """Write a bucket-partitioned snapshot data dir under a
+        writer-unique name (two racing committers never share a dir; the
+        CAS on the version manifest decides whose dir becomes visible).
+        ``df`` must carry a ``bkt`` column. Returns (rel, abs) paths —
+        the single source of the snap-dir naming/write protocol shared by
+        merge, bulk load, partition rewrite, tombstone purge, and data-file
+        rewrite."""
+        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"
+        out_dir = os.path.join(self.root, rel)
+        df.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
+        return rel, out_dir
+
+    def _written_buckets(self, out_dir: str) -> set[int]:
+        """Bucket ids that actually produced files in a snapshot write (an
+        empty bucket writes no dir — its manifest entry must be dropped,
+        not pointed at a missing path)."""
+        return {
+            int(d.split("=")[1])
+            for d in self.io.list_dirs(out_dir)
+            if d.startswith("bkt=")
+        }
+
     def _empty_state(self, m: dict) -> DataFrame:
         fields = self.schema_fields(m)
         ddl = ", ".join(
@@ -512,9 +535,7 @@ class TargetTable:
         )
 
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
-        out_dir = os.path.join(self.root, rel)
-        merged.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
+        rel, _ = self._write_snap_dir(merged, new_v)
 
         for b in touched:
             old_e = m["buckets"].get(str(b))
@@ -555,15 +576,8 @@ class TargetTable:
         cols = self.current_columns(m)
         out = df.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
-        out.repartition(B, F.col("bkt")).write.partitionBy("bkt").mode(
-            "overwrite"
-        ).parquet(os.path.join(self.root, rel))
-        written = [
-            int(d.split("=")[1])
-            for d in self.io.list_dirs(os.path.join(self.root, rel))
-            if d.startswith("bkt=")
-        ]
+        rel, out_dir = self._write_snap_dir(out.repartition(B, F.col("bkt")), new_v)
+        written = self._written_buckets(out_dir)
         for b in written:
             m["buckets"][str(b)] = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
         m["version"] = new_v
@@ -596,6 +610,20 @@ class TargetTable:
         bucket-id comparison; the diff then falls back to the full scan.)"""
         m_old = self._get_manifest(self._version_path(v_old))
         m_new = self._get_manifest(self._version_path(v_new))
+        # eager retention check (one delimiter listing): expire_snapshots
+        # keeps version manifests but deletes unreferenced data dirs, so a
+        # diff against an expired snapshot would otherwise fail LAZILY with
+        # a path-not-found deep inside the join. Surface it here, typed, so
+        # lagging consumers (IncrementalAggregate.refresh) can recover.
+        live = {d for d in self.io.list_dirs(self.root) if d.startswith("snap-")}
+        for mm, v in ((m_old, v_old), (m_new, v_new)):
+            gone = {e["path"].split("/")[0] for e in mm["buckets"].values()} - live
+            if gone:
+                raise FileNotFoundError(
+                    f"snapshot v{v} references expired data dirs "
+                    f"{sorted(gone)[:3]} — retention (expire_snapshots) ran "
+                    "past this version; changelog reads from it are gone"
+                )
         key_cols = m_new["key_cols"]
         bucket_ids = None
         if (
@@ -670,16 +698,10 @@ class TargetTable:
             .withColumn("bkt", _bucket_expr(bucket_cols, new_num_buckets))
         )
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
-        out_dir = os.path.join(self.root, rel)
-        out.repartition(new_num_buckets, F.col("bkt")).write.partitionBy("bkt").mode(
-            "overwrite"
-        ).parquet(out_dir)
-        written = [
-            int(d.split("=")[1])
-            for d in self.io.list_dirs(out_dir)
-            if d.startswith("bkt=")
-        ]
+        rel, out_dir = self._write_snap_dir(
+            out.repartition(new_num_buckets, F.col("bkt")), new_v
+        )
+        written = self._written_buckets(out_dir)
         m["buckets"] = {
             str(b): {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]} for b in written
         }
@@ -743,14 +765,8 @@ class TargetTable:
             "bkt", _bucket_expr(bucket_cols, m["num_buckets"])
         )
         new_v = v + 1
-        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"
-        out_dir = os.path.join(self.root, rel)
-        out.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
-        written = {
-            int(d.split("=")[1])
-            for d in self.io.list_dirs(out_dir)
-            if d.startswith("bkt=")
-        }
+        rel, out_dir = self._write_snap_dir(out, new_v)
+        written = self._written_buckets(out_dir)
         for b in bucket_ids:
             if b in written:
                 old = m["buckets"][str(b)]
@@ -846,14 +862,8 @@ class TargetTable:
         keep = self._state_df(m, touched).where(~eligible)
         out = keep.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
-        rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"  # writer-unique: two racers never share a data dir
-        out_dir = os.path.join(self.root, rel)
-        out.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
-        written = {
-            int(d.split("=")[1])
-            for d in self.io.list_dirs(out_dir)
-            if d.startswith("bkt=")
-        }
+        rel, out_dir = self._write_snap_dir(out, new_v)
+        written = self._written_buckets(out_dir)
         for b in touched:
             if b in written:
                 m["buckets"][str(b)] = {

@@ -69,30 +69,62 @@ def debezium_schema(row_fields: list[tuple[str, str]]) -> T.StructType:
     )
 
 
+# row-level change ops this engine ingests. Debezium also emits 't'
+# (truncate) and 'm' (logical message) — NOT row changes; ingesting them
+# would merge a phantom all-NULL-key row (NULL is a real key here), so
+# they are routed to dead_letters for the operator to handle explicitly.
+ROW_OPS = ("c", "r", "u", "d")
+
+
+def _envelope(df, row_fields, value_col, ts_ms_fallback):
+    """Shared keep/image/seq derivation for parse_debezium and its exact
+    complement dead_letters."""
+    env = F.from_json(F.col(value_col), debezium_schema(row_fields))
+    is_del = env["op"] == "d"
+    image = F.when(is_del, env["before"]).otherwise(env["after"])
+    seq = (
+        F.coalesce(env["source"]["lsn"], env["ts_ms"])
+        if ts_ms_fallback
+        else env["source"]["lsn"]
+    )
+    keep = env["op"].isin(*ROW_OPS) & image.isNotNull() & seq.isNotNull()
+    return env, is_del, image, seq, keep
+
+
 def parse_debezium(
     df: DataFrame,
     row_fields: list[tuple[str, str]],
     value_col: str = "value",
+    ts_ms_fallback: bool = True,
 ) -> DataFrame:
     """Parse a column of Debezium-envelope JSON strings into normalized
     change events. Pure Catalyst (`from_json`): whole-stage codegen, no
-    Python. Malformed lines parse to NULL envelopes and are dropped with
-    tombstones (PERMISSIVE by construction — route the raw column to a
-    dead-letter sink upstream if you need them)."""
-    env = F.from_json(F.col(value_col), debezium_schema(row_fields))
-    is_del = env["op"] == "d"
-    image = F.when(is_del, env["before"]).otherwise(env["after"])
+    Python.
+
+    A line is a change event iff its op is one of c/r/u/d AND the op's row
+    image is present AND it has a sequence; everything else (malformed
+    JSON, truncate/message ops, imageless records) is excluded here and
+    captured — exactly — by :func:`dead_letters`.
+
+    ``ts_ms_fallback``: when True (default), records without a
+    ``source.lsn`` take ``ts_ms`` as ``_seq``. CAUTION — epoch-millisecond
+    seqs and LSN seqs are NOT comparable: if a connector mixes both in one
+    stream (e.g. snapshot reads without lsn followed by binlog events),
+    the ms-scale seqs permanently out-rank the LSNs in max-_seq dedup.
+    Set ``ts_ms_fallback=False`` for LSN-strict streams; lsn-less records
+    then land in ``dead_letters(..., ts_ms_fallback=False)`` instead of
+    being merged with a foreign ordering."""
+    env, is_del, image, seq, keep = _envelope(df, row_fields, value_col, ts_ms_fallback)
     out = [image[n].alias(n) for n, _ in row_fields]
     return (
-        df.select(
+        df.where(keep)
+        .select(
             *out,
             env["op"].alias("src_op"),
             F.when(is_del, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
-            F.coalesce(env["source"]["lsn"], env["ts_ms"]).alias("_seq"),
+            seq.alias("_seq"),
             F.timestamp_millis(env["ts_ms"]).alias("_ts"),
         )
-        # tombstones / malformed: no op -> not a change event
-        .where(F.col("src_op").isNotNull())
     )
 
 
@@ -100,18 +132,22 @@ def dead_letters(
     df: DataFrame,
     row_fields: list[tuple[str, str]],
     value_col: str = "value",
+    ts_ms_fallback: bool = True,
 ) -> DataFrame:
-    """The complement of :func:`parse_debezium`: raw lines that are neither
-    parseable change events nor Kafka tombstones (empty values). Route this
-    to a quarantine sink — at-least-once CDC pipelines must account for
-    every input line, and silently dropping malformed ones loses the
-    operator's only debugging signal (the reference logs these at WARN and
+    """The EXACT complement of :func:`parse_debezium` (same
+    ``ts_ms_fallback``) minus Kafka tombstones (empty/NULL values, which
+    are intentional compaction hints, not errors): malformed JSON, non-row
+    ops ('t' truncate / 'm' message), records whose op lacks its row
+    image, and — in LSN-strict mode — records without a sequence. Route
+    this to a quarantine sink: at-least-once CDC pipelines must account
+    for every input line, and silently dropping any of these loses the
+    operator's only debugging signal (the reference logs them at WARN and
     moves on, logger/sqllogger.py pattern; a lake engine quarantines)."""
-    env = F.from_json(F.col(value_col), debezium_schema(row_fields))
+    _, _, _, _, keep = _envelope(df, row_fields, value_col, ts_ms_fallback)
     return df.where(
         F.col(value_col).isNotNull()
         & (F.length(F.trim(F.col(value_col))) > 0)
-        & env["op"].isNull()
+        & ~F.coalesce(keep, F.lit(False))
     ).select(F.col(value_col).alias("raw"))
 
 

@@ -1,0 +1,125 @@
+"""SCD Type-2 history maintenance (plans/scd.py): incremental apply must
+equal the one-pass transform, re-application must be a no-op, late feeds
+are quarantined, and per-key intervals must chain correctly."""
+
+import os
+import tempfile
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.plans.scd import (
+    create_history_table,
+    read_history,
+    scd2_apply,
+    scd2_transform,
+)
+from data_ingestor_py_spark.sources import change_events
+
+KEYS = ["repo", "path"]
+PAY = ["lang", "content"]
+
+
+def _mkroot():
+    d = tempfile.mkdtemp(prefix="scd2-")
+    os.rmdir(d)
+    return d
+
+
+def _events(spark, n=4000, seed=23):
+    return change_events(
+        spark, n, n_repos=10, paths_per_repo=10, seed=seed
+    ).select("repo", "path", "lang", "content", "_seq", "_op", "_ts")
+
+
+def _range_batches(ev, k):
+    mx = ev.agg(F.max("_seq")).collect()[0][0]
+    return [
+        ev.where((F.col("_seq") * k / (mx + 1)).cast("int") == i) for i in range(k)
+    ]
+
+
+def _ns(rows):
+    """None-safe row sort (valid_to is NULL for open intervals)."""
+    return sorted(rows, key=lambda t: [(x is None, x) for x in t])
+
+
+def _hist_rows(h):
+    return _ns(
+        tuple(r)
+        for r in read_history(h)
+        .select(*KEYS, *PAY, "valid_from", "valid_to")
+        .collect()
+    )
+
+
+def test_incremental_equals_transform(spark):
+    ev = _events(spark)
+    full = _ns(tuple(r) for r in scd2_transform(ev, KEYS, PAY).collect())
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=8,
+    )
+    for b in _range_batches(ev, 4):
+        st = scd2_apply(h, b, KEYS, PAY)
+        assert st.n_late == 0
+    assert _hist_rows(h) == full and full
+
+
+def test_reapply_is_noop(spark):
+    ev = _events(spark, n=1500, seed=5)
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    b1, b2 = _range_batches(ev, 2)
+    scd2_apply(h, b1, KEYS, PAY)
+    scd2_apply(h, b2, KEYS, PAY)
+    before = _hist_rows(h)
+    st = scd2_apply(h, b2, KEYS, PAY)  # exact duplicate batch
+    assert _hist_rows(h) == before
+    st = scd2_apply(h, b1, KEYS, PAY)  # out-of-order duplicate: all late
+    assert st.n_late > 0
+    assert _hist_rows(h) == before
+
+
+def test_current_rows_match_merge_state(spark):
+    """Open intervals == the merged current state (independent paths to the
+    same truth: SCD2 windowing vs max-seq merge dedup)."""
+    from data_ingestor_py_spark.operators.dedup import latest_by_key
+
+    ev = _events(spark, n=2500, seed=31)
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=8,
+    )
+    for b in _range_batches(ev, 3):
+        scd2_apply(h, b, KEYS, PAY)
+    cur = read_history(h).where("is_current").select(*KEYS, *PAY, "valid_from")
+    want = (
+        latest_by_key(ev, KEYS, "_seq")
+        .where(F.col("_op") != "D")
+        .select(*KEYS, *PAY, F.col("_seq").alias("valid_from"))
+    )
+    assert _ns(map(tuple, cur.collect())) == _ns(map(tuple, want.collect()))
+
+
+def test_intervals_chain_per_key(spark):
+    ev = _events(spark, n=1200, seed=77)
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    for b in _range_batches(ev, 2):
+        scd2_apply(h, b, KEYS, PAY)
+    by_key = defaultdict(list)
+    for r in read_history(h).collect():
+        by_key[(r["repo"], r["path"])].append((r["valid_from"], r["valid_to"]))
+    # deletes may interpose (closing without opening), so consecutive
+    # intervals never overlap and at most ONE open interval exists per key
+    for k, ivs in by_key.items():
+        ivs.sort()
+        opens = [iv for iv in ivs if iv[1] is None]
+        assert len(opens) <= 1, k
+        for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
+            assert t1 is not None and t1 <= f2, (k, ivs)
