@@ -156,7 +156,10 @@ def scd2_apply(
     cond = F.lit(True)
     for c in key_cols:
         cond = cond & F.col(f"_k_{c}").eqNullSafe(F.col(c))
-    joined = firsts.join(open_rows, cond, "inner")
+    # persisted: three consumers (late count, carry-over closes, the
+    # anti-join) would otherwise each recompute the open-row join; the
+    # frame is one row per batch-key-with-open-history — batch-bounded
+    joined = firsts.join(open_rows, cond, "inner").persist()
 
     # late-feed guard: an open interval at-or-after the batch's first event
     # for that key means the feed violated cross-batch ordering; those
@@ -194,7 +197,10 @@ def scd2_apply(
     if n_late:
         opened = opened.join(late_keys, key_cols, "left_anti")
     delta = closed_prev.unionByName(opened)
-    st = history.merge_apply(delta, stats="light")
+    try:
+        st = history.merge_apply(delta, stats="light")
+    finally:
+        joined.unpersist()
     return Scd2Stats(
         rows_in=st.rows_in,
         n_late=n_late,
