@@ -300,6 +300,43 @@ class TargetTable:
         self._commit_manifest(m)
         return new_v
 
+    # ---------------- snapshot refs (Iceberg tags) ----------------
+
+    def tag_snapshot(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a named ref (Iceberg tag): audit points,
+        reproducible-training anchors, rollback targets. A tagged
+        snapshot's data dirs survive ``expire_snapshots`` until the tag is
+        dropped. Tagging is metadata-only but claims its own version under
+        the CAS protocol like every commit. Returns the tagged version."""
+        m = self._load()
+        target = m["version"] if version is None else version
+        # validate the ref points at a committed snapshot
+        self._get_manifest(self._version_path(target))
+        m.setdefault("tags", {})[name] = target
+        m["version"] += 1
+        m["history"].append(
+            {"at": time.time(), "op": "tag", "tag": name, "snapshot": target}
+        )
+        self._commit_manifest(m)
+        return target
+
+    def drop_tag(self, name: str) -> None:
+        m = self._load()
+        if name not in m.get("tags", {}):
+            raise KeyError(f"no tag {name!r} on table {self.root}")
+        del m["tags"][name]
+        m["version"] += 1
+        m["history"].append({"at": time.time(), "op": "drop_tag", "tag": name})
+        self._commit_manifest(m)
+
+    def read_tag(self, name: str) -> DataFrame:
+        """Time travel by ref name (Iceberg ``VERSION AS OF 'tag'``)."""
+        m = self._load()
+        tags = m.get("tags", {})
+        if name not in tags:
+            raise KeyError(f"no tag {name!r} on table {self.root}")
+        return self.read_version(tags[name])
+
     # ---------------- read paths ----------------
 
     def _written_ddl(self, m: dict, version: int) -> str:
@@ -957,6 +994,14 @@ class TargetTable:
         self.io.sweep_staging(os.path.join(self.root, "_versions"))
         m = self._load()
         live = {info["path"].split("/")[0] for info in m["buckets"].values()}
+        # tagged snapshots are retention anchors: their data dirs stay
+        # live until the tag is dropped (Iceberg ref-aware expiry)
+        for tag_v in set(m.get("tags", {}).values()):
+            try:
+                mt = self._get_manifest(self._version_path(tag_v))
+            except FileNotFoundError:
+                continue  # tag predates a manifest sweep — nothing to pin
+            live |= {e["path"].split("/")[0] for e in mt["buckets"].values()}
         # data plane through the storage adapter too: delimiter listing +
         # batch prefix delete are the only ops GC needs, so on a real object
         # store the whole maintenance path rides the same adapter swap as
