@@ -33,7 +33,11 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from data_ingestor_py_spark.plans.mv import IncrementalAggregate
-    from data_ingestor_py_spark.plans.scd import create_history_table, scd2_apply
+    from data_ingestor_py_spark.plans.scd import (
+        create_history_table,
+        read_history,
+        scd2_apply,
+    )
     from data_ingestor_py_spark.plans.target import TargetTable
     from data_ingestor_py_spark.session import get_spark
     from data_ingestor_py_spark.sources import change_events
@@ -82,7 +86,7 @@ def main() -> None:
             f"batch {i}: merge {t1-t0:.1f}s  mv {t2-t1:.1f}s  scd2 {t3-t2:.1f}s",
             file=sys.stderr,
         )
-    out["history_rows"] = hist.read().count()
+    out["history_rows"] = read_history(hist).count()
     out["source_rows"] = src.read().count()
     out["events"] = total
     # MV correctness at the end of the run (cheap: aggregate-scale)

@@ -946,10 +946,10 @@ def q_scd2_history(spark, sf_dir):
             b = cdc.where((F.col("_seq") * 4 / (mx + 1)).cast("int") == i)
             scd2_apply(h, b, ["repo", "path"], ["value"])
         _REPLAY_CACHE[key] = root
-    h = TargetTable(spark, _REPLAY_CACHE[key])
-    from data_ingestor_py_spark.plans.scd import read_history as _rh
+    from data_ingestor_py_spark.plans.scd import Scd2History
 
-    return _rh(h).select(
+    h = Scd2History(spark, _REPLAY_CACHE[key])
+    return read_history(h).select(
         F.col("repo").cast("long").alias("user_id"),
         F.col("path").cast("long").alias("k"),
         "value", "valid_from", "valid_to", "is_current",

@@ -12,24 +12,37 @@ Two forms:
 - :func:`scd2_transform` — stateless: full history from a complete event
   set in ONE window pass (one shuffle on the key). Use for backfills and
   as the verification reference.
-- :func:`scd2_apply` — incremental: maintain a history
-  :class:`TargetTable` batch by batch. The trick that makes this a plain
-  merge instead of a rewrite: a history row is keyed by
-  ``(key..., valid_from)`` and merged with ``_seq = coalesce(valid_to,
-  valid_from)`` — closing an interval re-emits the same keyed row with a
-  strictly larger ``_seq`` (``valid_to > valid_from`` always), so the
-  engine's max-seq dedup makes "close" win over "open" idempotently, and
-  re-applying any batch is harmless (exactly-once without new machinery).
+- :func:`scd2_apply` — incremental: maintain an :class:`Scd2History`
+  batch by batch.
 
-Scale shape of ``scd2_apply``: one window over the batch (shuffle on key),
-one bucket-PRUNED read of currently-open rows (the history table is
-bucketed by the key columns only, so a batch's keys map to a bounded
-bucket set regardless of history depth), and one merge whose write
-touches only those buckets. History grows without bound; the apply cost
-tracks the batch, not the history.
+**Storage split — why history is NOT one COW table.** Closed intervals
+are immutable facts; only the per-key OPEN interval ever changes. Keeping
+both in one copy-on-write table means every batch rewrites all history in
+the touched buckets — measured on an 8x10^6-event run, the per-batch
+apply grew 13s -> 46s as history accumulated (write amplification
+O(history), the classic COW-for-append-data anti-pattern). So
+:class:`Scd2History` is two stores:
+
+- ``open/`` — a :class:`TargetTable` keyed by the business key, ONE row
+  per live key (the open interval: payload + ``valid_from``). Bounded by
+  live-key count; the merge's bucket-pruned COW is the right tool here.
+- ``closed/`` — an append-only segment log (one parquet dir per applied
+  batch, named by the batch's deduped seq range). Segments are immutable
+  and written exactly once: the writer SKIPS a segment that already
+  exists with a ``_SUCCESS`` marker, so an at-least-once driver
+  re-applying a batch cannot duplicate or clobber history (a re-apply
+  also finds every key "late" in the open table and leaves it untouched
+  — the combination makes the whole apply idempotent). A crashed write
+  leaves no ``_SUCCESS`` and is invisible to readers; the retry
+  overwrites the partial dir.
+
+Per-batch cost is then O(batch + live keys in touched buckets) and FLAT
+in accumulated history — the property that makes a 10^10-event history
+viable (verified by BENCH/incremental_demo.py).
 
 Ordering contract: within a batch, any order (the window sorts). ACROSS
-batches the feed must be per-key ordered (a real binlog tail is); a
+batches the feed must be per-key ordered (a real binlog tail is), and
+batches must cover non-overlapping seq ranges (the segment identity); a
 cross-batch late event — older than its key's open interval — cannot be
 spliced into already-written history and is counted + dropped
 (``n_late``), mirroring how warehouse SCD2 loaders treat late feeds.
@@ -38,12 +51,14 @@ Rebuild via :func:`scd2_transform` when a late backfill must be honored.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.plans.target import TargetTable, _bucket_expr
+from data_ingestor_py_spark.storage import PosixStorage, StorageAdapter
 
 
 def _one_change_per_seq(events: DataFrame, key_cols, seq_col) -> DataFrame:
@@ -90,9 +105,82 @@ def scd2_transform(
 
 @dataclass
 class Scd2Stats:
-    rows_in: int  # history rows merged (opens + carry-over closes)
+    rows_in: int  # open-table rows merged this batch
     n_late: int  # keys dropped for violating cross-batch ordering
-    snapshot_version: int
+    segment: str | None  # closed-log segment written (None = pre-existing)
+    snapshot_version: int  # open table's snapshot after the merge
+
+
+class Scd2History:
+    """Open-table + closed-segment-log pair (see module docstring)."""
+
+    def __init__(
+        self, spark, root: str, storage: StorageAdapter | None = None
+    ):
+        self.spark = spark
+        self.root = root
+        self.io = storage or PosixStorage()
+        self.open = TargetTable(
+            spark, os.path.join(root, "open"), storage=storage
+        )
+
+    @property
+    def closed_dir(self) -> str:
+        return os.path.join(self.root, "closed")
+
+    def closed_segments(self) -> list[str]:
+        """Complete (``_SUCCESS``-marked) closed segments, oldest first.
+        A crashed writer's partial dir has no ``_SUCCESS`` and is
+        invisible; the retry overwrites it."""
+        return sorted(
+            os.path.join(self.closed_dir, d)
+            for d in self.io.list_dirs(self.closed_dir)
+            if d.startswith("seg-")
+            and self.io.exists(os.path.join(self.closed_dir, d, "_SUCCESS"))
+        )
+
+    def sweep_partial_segments(self, grace_s: float = 900.0) -> list[str]:
+        """Maintenance: delete crashed writers' partial segment dirs (no
+        ``_SUCCESS``) older than ``grace_s``. The grace period protects a
+        LIVE writer whose segment is mid-write — sweeping that would be
+        repaired only if the writer later crashed and retried, but if its
+        apply then SUCCEEDED the history hole would be permanent (the
+        ``_SUCCESS`` skip would never rewrite it). Same guard as the
+        commit protocol's staging sweep. Returns the swept names."""
+        import time as _time
+
+        swept = []
+        for d in self.io.list_dirs(self.closed_dir):
+            path = os.path.join(self.closed_dir, d)
+            if not d.startswith("seg-") or self.io.exists(
+                os.path.join(path, "_SUCCESS")
+            ):
+                continue
+            try:
+                age = _time.time() - os.path.getmtime(path)
+            except OSError:
+                continue
+            if age >= grace_s:
+                self.io.delete_prefix(path)
+                swept.append(d)
+        return swept
+
+    def _closed_ddl(self) -> str:
+        m = self.open._load()
+        fields = self.open.schema_fields(m)
+        cols = [f"{k} string" for k in m["key_cols"]]
+        cols += [
+            f"`{f['name']}` {f['type']}" for f in fields if f["name"] != "valid_from"
+        ]
+        cols += ["valid_from long", "valid_to long"]
+        return ", ".join(cols)
+
+    def read_closed(self) -> DataFrame:
+        segs = self.closed_segments()
+        ddl = self._closed_ddl()
+        if not segs:
+            return self.spark.createDataFrame([], ddl)
+        return self.spark.read.schema(ddl).parquet(*segs)
 
 
 def create_history_table(
@@ -102,23 +190,22 @@ def create_history_table(
     payload_cols: list[tuple[str, str]],
     num_buckets: int = 64,
     storage=None,
-) -> TargetTable:
-    """History TargetTable: keyed by (key..., valid_from), BUCKETED by the
-    key columns only — all versions of a key co-locate, so the open-row
-    lookup and the merge write stay bucket-pruned as history deepens."""
-    return TargetTable.create(
+) -> Scd2History:
+    """Create the open/closed pair. The open table is keyed AND bucketed
+    by the business key — one live row per key, bucket-pruned merges."""
+    TargetTable.create(
         spark,
-        root,
-        key_cols=[*key_cols, "valid_from"],
-        columns=[*payload_cols, ("valid_to", "long")],
+        os.path.join(root, "open"),
+        key_cols=key_cols,
+        columns=[*payload_cols, ("valid_from", "long")],
         num_buckets=num_buckets,
-        bucket_cols=key_cols,
         storage=storage,
     )
+    return Scd2History(spark, root, storage=storage)
 
 
 def scd2_apply(
-    history: TargetTable,
+    history: Scd2History,
     batch: DataFrame,
     key_cols: list[str],
     payload_cols: list[str],
@@ -126,11 +213,24 @@ def scd2_apply(
     op_col: str = "_op",
     ts_col: str = "_ts",
 ) -> Scd2Stats:
-    """Fold one CDC batch into the history table (see module docstring for
-    the merge trick and the ordering contract)."""
-    m = history._load()
+    """Fold one CDC batch into the history (see module docstring for the
+    storage split, idempotence, and the ordering contract)."""
+    open_t = history.open
+    m = open_t._load()
     B, bucket_cols = m["num_buckets"], m.get("bucket_cols")
     batch = _one_change_per_seq(batch, key_cols, seq_col)
+
+    # segment identity = the deduped batch's seq range (batches are
+    # non-overlapping binlog segments); also the idempotence key
+    rng = batch.agg(
+        F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    if rng["n"] == 0:
+        return Scd2Stats(0, 0, None, m["version"])
+    seg_name = f"seg-{rng['lo']:020d}-{rng['hi']:020d}-{rng['n']}"
+    seg_path = os.path.join(history.closed_dir, seg_name)
+    seg_done = history.io.exists(os.path.join(seg_path, "_SUCCESS"))
 
     # 1) within-batch chaining: every event (incl. deletes) closes its
     #    predecessor; non-delete events open intervals
@@ -138,20 +238,19 @@ def scd2_apply(
     chained = batch.withColumn("_next_seq", F.lead(seq_col).over(w))
     firsts = batch.groupBy(*key_cols).agg(F.min(seq_col).alias("_first_seq"))
 
-    # 2) currently-open rows for the batch's keys, bucket-pruned: the
-    #    batch's keys bound the bucket set (history depth is irrelevant)
+    # 2) currently-open rows for the batch's keys, bucket-pruned (the
+    #    open table holds ONE row per live key — bounded, never history)
     touched = sorted(
         r["bkt"]
         for r in batch.select(
             _bucket_expr(bucket_cols, B).alias("bkt")
         ).distinct().collect()
     )
-    state = history._state_df(m, touched).where(F.col("_op") != "D")
-    open_rows = state.where(F.col("valid_to").isNull()).select(
+    state = open_t._state_df(m, touched).where(F.col("_op") != "D")
+    open_rows = state.select(
         *[F.col(c).alias(f"_k_{c}") for c in key_cols],
-        F.col("valid_from").cast("long").alias("_open_from"),
+        F.col("valid_from").alias("_open_from"),
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
-        F.col(ts_col).alias("_open_ts"),
     )
     cond = F.lit(True)
     for c in key_cols:
@@ -160,58 +259,73 @@ def scd2_apply(
     # anti-join) would otherwise each recompute the open-row join; the
     # frame is one row per batch-key-with-open-history — batch-bounded
     joined = firsts.join(open_rows, cond, "inner").persist()
-
-    # late-feed guard: an open interval at-or-after the batch's first event
-    # for that key means the feed violated cross-batch ordering; those
-    # keys' events cannot splice into written history and are dropped
-    # (counted). Note this also makes a direct RE-apply of an
-    # already-applied batch a clean no-op: every key then looks late, the
-    # delta is empty, and the table is untouched.
-    late_keys = joined.where(F.col("_first_seq") <= F.col("_open_from")).select(
-        *[F.col(f"_k_{c}").alias(c) for c in key_cols]
-    )
-    n_late = late_keys.count()
-    closers = joined.where(F.col("_first_seq") > F.col("_open_from"))
-
-    # 3) history deltas, all merged in one call:
-    #    a) carried-over open rows get closed (same keyed row, larger _seq)
-    closed_prev = closers.select(
-        *[F.col(f"_k_{c}").alias(c) for c in key_cols],
-        F.col("_open_from").cast("string").alias("valid_from"),
-        *[F.col(f"_p_{c}").alias(c) for c in payload_cols],
-        F.col("_first_seq").alias("valid_to"),
-        F.col("_first_seq").alias(seq_col),
-        F.lit("U").alias(op_col),
-        F.col("_open_ts").alias(ts_col),
-    )
-    #    b) batch events open intervals (closed within-batch by _next_seq)
-    opened = chained.where(F.col(op_col) != "D").select(
-        *key_cols,
-        F.col(seq_col).cast("string").alias("valid_from"),
-        *payload_cols,
-        F.col("_next_seq").cast("long").alias("valid_to"),
-        F.coalesce(F.col("_next_seq"), F.col(seq_col)).alias(seq_col),
-        F.lit("U").alias(op_col),
-        F.col(ts_col),
-    )
-    if n_late:
-        opened = opened.join(late_keys, key_cols, "left_anti")
-    delta = closed_prev.unionByName(opened)
     try:
-        st = history.merge_apply(delta, stats="light")
+        # late-feed guard: an open interval at-or-after the batch's first
+        # event means the feed violated cross-batch ordering; those keys'
+        # events are dropped (counted). A re-apply of an already-applied
+        # batch makes EVERY key late -> open table untouched; with the
+        # segment skip below, the whole apply degenerates to a no-op.
+        late_keys = joined.where(
+            F.col("_first_seq") <= F.col("_open_from")
+        ).select(*[F.col(f"_k_{c}").alias(c) for c in key_cols])
+        n_late = late_keys.count()
+        closers = joined.where(F.col("_first_seq") > F.col("_open_from"))
+
+        def _not_late(df):
+            return df.join(late_keys, key_cols, "left_anti") if n_late else df
+
+        # 3) CLOSED log append (exactly once by segment identity):
+        #    a) carried-over open intervals closed by this batch
+        #    b) intervals both opened and closed inside the batch
+        if not seg_done:
+            closed_a = closers.select(
+                *[F.col(f"_k_{c}").cast("string").alias(c) for c in key_cols],
+                *[F.col(f"_p_{c}").alias(c) for c in payload_cols],
+                F.col("_open_from").cast("long").alias("valid_from"),
+                F.col("_first_seq").cast("long").alias("valid_to"),
+            )
+            closed_b = _not_late(
+                chained.where(
+                    (F.col(op_col) != "D") & F.col("_next_seq").isNotNull()
+                )
+            ).select(
+                *[F.col(c).cast("string").alias(c) for c in key_cols],
+                *payload_cols,
+                F.col(seq_col).cast("long").alias("valid_from"),
+                F.col("_next_seq").cast("long").alias("valid_to"),
+            )
+            closed_a.unionByName(closed_b).write.mode("overwrite").parquet(seg_path)
+
+        # 4) OPEN table upsert: the batch's LAST event per key either
+        #    opens a new interval (U) or ends the key's history (D)
+        lasts = _not_late(chained.where(F.col("_next_seq").isNull()))
+        upserts = lasts.select(
+            *key_cols,
+            *payload_cols,
+            F.col(seq_col).cast("long").alias("valid_from"),
+            F.col(seq_col).alias(seq_col),
+            F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias(op_col),
+            F.col(ts_col),
+        )
+        st = open_t.merge_apply(upserts, stats="light")
     finally:
         joined.unpersist()
     return Scd2Stats(
         rows_in=st.rows_in,
         n_late=n_late,
+        segment=None if seg_done else seg_name,
         snapshot_version=st.snapshot_version,
     )
 
 
-def read_history(history: TargetTable) -> DataFrame:
-    """Visible history intervals with the derived ``is_current`` flag."""
-    df = history.read()
-    return df.select(
-        *[c for c in df.columns if not c.startswith("_")],
-        F.col("valid_to").isNull().alias("is_current"),
-    ).withColumn("valid_from", F.col("valid_from").cast("long"))
+def read_history(history: Scd2History) -> DataFrame:
+    """All history intervals: the closed log plus the open table's live
+    intervals, with the derived ``is_current`` flag."""
+    closed = history.read_closed().withColumn("is_current", F.lit(False))
+    open_df = history.open.read()
+    keep = [c for c in closed.columns if c != "is_current"]
+    open_rows = open_df.select(
+        *[c for c in keep if c not in ("valid_to",)],
+        F.lit(None).cast("long").alias("valid_to"),
+    ).withColumn("is_current", F.lit(True))
+    return closed.unionByName(open_rows)

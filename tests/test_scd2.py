@@ -123,3 +123,33 @@ def test_intervals_chain_per_key(spark):
         assert len(opens) <= 1, k
         for (f1, t1), (f2, _) in zip(ivs, ivs[1:]):
             assert t1 is not None and t1 <= f2, (k, ivs)
+
+
+def test_partial_segment_invisible_and_swept(spark):
+    """A crashed segment write (no _SUCCESS, open table NOT yet advanced —
+    the only reachable crash state given segment-before-merge ordering) is
+    invisible to readers, sweepable after the grace period, and the retry
+    of the same batch repairs history exactly."""
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    ev = _events(spark, n=1000, seed=88)
+    b1, b2 = _range_batches(ev, 2)
+    scd2_apply(h, b1, KEYS, PAY)
+    after_b1 = _hist_rows(h)
+    # simulate batch 2 crashing mid-segment-write: a partial dir with no
+    # _SUCCESS (the open table was not touched yet)
+    os.makedirs(os.path.join(h.closed_dir, "seg-crashed-partial"))
+    with open(os.path.join(h.closed_dir, "seg-crashed-partial", "part-0.parquet"), "wb") as f:
+        f.write(b"garbage")
+    assert _hist_rows(h) == after_b1  # invisible to readers
+    # a live writer's fresh partial is protected by the grace period...
+    assert h.sweep_partial_segments(grace_s=3600) == []
+    # ...and sweepable once stale
+    assert h.sweep_partial_segments(grace_s=0) == ["seg-crashed-partial"]
+    # the driver retry applies batch 2 normally
+    st = scd2_apply(h, b2, KEYS, PAY)
+    assert st.n_late == 0 and st.segment is not None
+    full = _ns(tuple(r) for r in scd2_transform(ev, KEYS, PAY).collect())
+    assert _hist_rows(h) == full
