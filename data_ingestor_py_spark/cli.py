@@ -71,7 +71,72 @@ def main(argv: list[str] | None = None) -> int:
     st.add_argument("--follow", action="store_true",
                     help="keep running (processingTime trigger) instead of availableNow drain")
 
+    mnt = sub.add_parser(
+        "maintain", help="table maintenance: compaction, snapshot expiry, tags"
+    )
+    mnt.add_argument("--target", required=True)
+    mnt.add_argument("--cores", type=int, default=None)
+    mnt.add_argument("--rewrite-data-files", action="store_true",
+                     help="consolidate stale/old-schema buckets (zero-shuffle)")
+    mnt.add_argument("--stale-after", type=int, default=8)
+    mnt.add_argument("--expire-keep", type=int, default=0,
+                     help="expire snapshots, keeping N (tagged snapshots are pinned)")
+    mnt.add_argument("--tag", default=None, help="pin the current (or --tag-version) snapshot")
+    mnt.add_argument("--tag-version", type=int, default=None)
+    mnt.add_argument("--drop-tag", default=None)
+
+    ex = sub.add_parser(
+        "export-changelog", help="publish a snapshot range as Debezium JSON-lines"
+    )
+    ex.add_argument("--target", required=True)
+    ex.add_argument("--cores", type=int, default=None)
+    ex.add_argument("--from-version", type=int, required=True)
+    ex.add_argument("--to-version", type=int, default=None,
+                    help="default: current version")
+    ex.add_argument("--out", required=True)
+    ex.add_argument("--table-name", default="table")
+
     args = ap.parse_args(argv)
+
+    if args.cmd == "maintain":
+        from data_ingestor_py_spark.plans.target import TargetTable
+        from data_ingestor_py_spark.session import get_spark as _gs
+
+        spark = _gs("maintain", cores=args.cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = TargetTable(spark, args.target)
+        out: dict = {"target": args.target}
+        if args.tag:
+            out["tagged"] = {args.tag: t.tag_snapshot(args.tag, args.tag_version)}
+        if args.drop_tag:
+            t.drop_tag(args.drop_tag)
+            out["dropped_tag"] = args.drop_tag
+        if args.rewrite_data_files:
+            out["rewrite_snapshot"] = t.rewrite_data_files(stale_after=args.stale_after)
+        if args.expire_keep:
+            t.expire_snapshots(keep_last=args.expire_keep)
+            out["expired_keep_last"] = args.expire_keep
+        out["version"] = t._load()["version"]
+        print(json.dumps(out))
+        spark.stop()
+        return 0
+
+    if args.cmd == "export-changelog":
+        from data_ingestor_py_spark.plans.target import TargetTable
+        from data_ingestor_py_spark.session import get_spark as _gs
+        from data_ingestor_py_spark.sources.debezium import write_debezium_changelog
+
+        spark = _gs("export-changelog", cores=args.cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = TargetTable(spark, args.target)
+        v_to = args.to_version if args.to_version is not None else t._load()["version"]
+        fields = write_debezium_changelog(
+            t, args.from_version, v_to, args.out, table_name=args.table_name
+        )
+        print(json.dumps({"out": args.out, "from": args.from_version, "to": v_to,
+                          "row_fields": fields}))
+        spark.stop()
+        return 0
 
     if args.cmd == "verify-state":
         from data_ingestor_py_spark.plans.target import TargetTable
