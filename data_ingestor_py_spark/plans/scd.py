@@ -128,16 +128,76 @@ class Scd2History:
     def closed_dir(self) -> str:
         return os.path.join(self.root, "closed")
 
-    def closed_segments(self) -> list[str]:
-        """Complete (``_SUCCESS``-marked) closed segments, oldest first.
-        A crashed writer's partial dir has no ``_SUCCESS`` and is
-        invisible; the retry overwrites it."""
-        return sorted(
-            os.path.join(self.closed_dir, d)
+    @staticmethod
+    def _seg_range(name: str) -> tuple[int, int]:
+        _, lo, hi, _n = name.split("-")
+        return int(lo), int(hi)
+
+    def _complete_segments(self) -> tuple[list[str], list[str]]:
+        """(all ``_SUCCESS``-marked segment names, the LIVE subset).
+
+        CONTAINMENT RULE: a segment whose seq range is fully contained in
+        another complete segment's range is a compaction leftover (the
+        merged segment supersedes it — see :meth:`compact_segments`) and
+        is not live. Ranges come from the names alone, so the rule costs
+        one listing, no data reads; batches cover non-overlapping ranges
+        by contract, so containment is unambiguous."""
+        done = [
+            d
             for d in self.io.list_dirs(self.closed_dir)
             if d.startswith("seg-")
             and self.io.exists(os.path.join(self.closed_dir, d, "_SUCCESS"))
+        ]
+        ranges = {d: self._seg_range(d) for d in done}
+        live = [
+            d
+            for d in done
+            if not any(
+                o != d
+                and ranges[o][0] <= ranges[d][0]
+                and ranges[d][1] <= ranges[o][1]
+                for o in done
+            )
+        ]
+        return done, live
+
+    def closed_segments(self) -> list[str]:
+        """LIVE closed segments (complete, not superseded), oldest first.
+        A crashed writer's partial dir has no ``_SUCCESS`` and is
+        invisible; the retry overwrites it."""
+        return sorted(
+            os.path.join(self.closed_dir, d) for d in self._complete_segments()[1]
         )
+
+    def compact_segments(self, max_live_segments: int = 64) -> str | None:
+        """Maintenance: bin-pack the closed log. One segment per applied
+        batch is correct but at 10^4+ batches it is small-file sprawl
+        (listing pressure, tiny parquet footers). When more than
+        ``max_live_segments`` are live, rewrite them ALL into one merged
+        segment named by the union range.
+
+        Crash-safe without a manifest: the merged segment's range CONTAINS
+        every input's range, so the moment it lands with ``_SUCCESS`` the
+        containment rule retires the inputs — deleting them afterwards is
+        mere hygiene, a crash mid-delete changes nothing for readers, and
+        the next call's hygiene pass finishes the cleanup. Returns the new
+        segment name (None if below the threshold)."""
+        done, live = self._complete_segments()
+        # hygiene first: clear retired leftovers from any crashed delete
+        for d in done:
+            if d not in live:
+                self.io.delete_prefix(os.path.join(self.closed_dir, d))
+        if len(live) <= max_live_segments:
+            return None
+        lo = min(self._seg_range(n)[0] for n in live)
+        hi = max(self._seg_range(n)[1] for n in live)
+        df = self.read_closed()
+        merged = f"seg-{lo:020d}-{hi:020d}-{df.count()}"
+        df.write.mode("overwrite").parquet(os.path.join(self.closed_dir, merged))
+        for n in live:
+            if n != merged:
+                self.io.delete_prefix(os.path.join(self.closed_dir, n))
+        return merged
 
     def sweep_partial_segments(self, grace_s: float = 900.0) -> list[str]:
         """Maintenance: delete crashed writers' partial segment dirs (no

@@ -153,3 +153,43 @@ def test_partial_segment_invisible_and_swept(spark):
     assert st.n_late == 0 and st.segment is not None
     full = _ns(tuple(r) for r in scd2_transform(ev, KEYS, PAY).collect())
     assert _hist_rows(h) == full
+
+
+def test_segment_compaction(spark):
+    """Closed-log bin-packing: rows identical before/after, inputs retired
+    by range containment the instant the merged segment lands (a crashed
+    delete is invisible to readers and cleaned by the next call)."""
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    ev = _events(spark, n=2400, seed=66)
+    for b in _range_batches(ev, 6):
+        scd2_apply(h, b, KEYS, PAY)
+    before = _hist_rows(h)
+    assert len(h.closed_segments()) == 6
+    assert h.compact_segments(max_live_segments=8) is None  # below threshold
+    merged = h.compact_segments(max_live_segments=3)
+    assert merged is not None
+    assert [os.path.basename(s) for s in h.closed_segments()] == [merged]
+    assert _hist_rows(h) == before
+    # crashed delete: resurrect a retired input segment next to the merged
+    # one -> containment keeps it invisible; the next compact cleans it
+    import shutil as _sh
+
+    ghost = os.path.join(h.closed_dir, "seg-" + "0" * 18 + "01-" + "0" * 18 + "02-1")
+    _sh.copytree(os.path.join(h.closed_dir, merged), ghost)
+    assert _hist_rows(h) == before  # contained -> not double-counted
+    assert h.compact_segments(max_live_segments=99) is None  # hygiene only
+    assert not os.path.exists(ghost)
+    # incremental apply continues on the compacted log
+    ev2 = _events(spark, n=800, seed=67)
+    late_free = ev2.where(F.col("_seq") > ev.agg(F.max("_seq")).collect()[0][0])
+    if late_free.count():
+        scd2_apply(h, late_free, KEYS, PAY)
+    assert _hist_rows(h) == _ns(
+        tuple(r)
+        for r in scd2_transform(
+            ev.unionByName(late_free) if late_free.count() else ev, KEYS, PAY
+        ).collect()
+    )
