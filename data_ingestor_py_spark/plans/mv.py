@@ -218,7 +218,11 @@ class IncrementalAggregate:
         without replaying its history."""
         v_to = self.source._load()["version"]
         t0 = time.time()
-        want = self.recompute()
+        # PIN the recompute to v_to: aggregating the source's live state
+        # instead would race a concurrent source commit — the MV would hold
+        # v_to+1's numbers while recording synced=v_to, and the next
+        # refresh would fold the (v_to, v_to+1] delta a second time
+        want = self.recompute(version=v_to)
         cur = self.table.read().select(
             *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
         )
@@ -259,11 +263,16 @@ class IncrementalAggregate:
 
     # ---------------- verification ----------------
 
-    def recompute(self) -> DataFrame:
-        """Full recompute from the source's current visible state — the
-        O(table) reference the incremental path must equal exactly.
-        Used by tests and on-demand audits, never by the refresh loop."""
-        src = self.source.read()
+    def recompute(self, version: int | None = None) -> DataFrame:
+        """Full recompute from the source's visible state (current, or a
+        pinned snapshot ``version``) — the O(table) reference the
+        incremental path must equal exactly. Used by tests, on-demand
+        audits, and reseed(), never by the refresh loop."""
+        src = (
+            self.source.read()
+            if version is None
+            else self.source.read_version(version)
+        )
         return src.groupBy(
             *[F.col(g).cast("string").alias(g) for g in self.group_cols]
         ).agg(

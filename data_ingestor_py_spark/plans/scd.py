@@ -130,8 +130,21 @@ class Scd2History:
 
     @staticmethod
     def _seg_range(name: str) -> tuple[int, int]:
-        _, lo, hi, _n = name.split("-")
-        return int(lo), int(hi)
+        parts = name.split("-")
+        return int(parts[1]), int(parts[2])
+
+    @staticmethod
+    def _seg_schema(name: str) -> int | None:
+        """Schema version a segment was written under (from the ``-s<v>``
+        name suffix); None for pre-suffix segments (read at the current
+        schema, the pre-versioning behavior)."""
+        last = name.split("-")[-1]
+        return int(last[1:]) if last.startswith("s") else None
+
+    @staticmethod
+    def _seg_count(name: str) -> int:
+        parts = name.split("-")
+        return int(parts[3])
 
     def _complete_segments(self) -> tuple[list[str], list[str]]:
         """(all ``_SUCCESS``-marked segment names, the LIVE subset).
@@ -191,9 +204,16 @@ class Scd2History:
             return None
         lo = min(self._seg_range(n)[0] for n in live)
         hi = max(self._seg_range(n)[1] for n in live)
-        df = self.read_closed()
-        merged = f"seg-{lo:020d}-{hi:020d}-{df.count()}"
-        df.write.mode("overwrite").parquet(os.path.join(self.closed_dir, merged))
+        # name carries the summed event count (from the input names — no
+        # extra scan) and the CURRENT schema: compaction field-id-aligns
+        # old-schema segments on read, so it also retires schema debt the
+        # way rewrite_data_files does for the open table
+        n_total = sum(self._seg_count(n) for n in live)
+        cur_schema = self.open._load()["current_schema"]
+        merged = f"seg-{lo:020d}-{hi:020d}-{n_total}-s{cur_schema}"
+        self.read_closed(
+            [os.path.join(self.closed_dir, n) for n in live]
+        ).write.mode("overwrite").parquet(os.path.join(self.closed_dir, merged))
         for n in live:
             if n != merged:
                 self.io.delete_prefix(os.path.join(self.closed_dir, n))
@@ -216,31 +236,57 @@ class Scd2History:
                 os.path.join(path, "_SUCCESS")
             ):
                 continue
-            try:
-                age = _time.time() - os.path.getmtime(path)
-            except OSError:
-                continue
-            if age >= grace_s:
+            mt = self.io.mtime(path)  # adapter-provided (None = unknown)
+            if mt is not None and _time.time() - mt >= grace_s:
                 self.io.delete_prefix(path)
                 swept.append(d)
         return swept
 
-    def _closed_ddl(self) -> str:
-        m = self.open._load()
-        fields = self.open.schema_fields(m)
+    def _closed_fields(self, m: dict, version: int | None):
+        fields = self.open.schema_fields(m, version)
+        return [f for f in fields if f["name"] != "valid_from"]
+
+    def _closed_ddl(self, m: dict, version: int | None = None) -> str:
         cols = [f"{k} string" for k in m["key_cols"]]
         cols += [
-            f"`{f['name']}` {f['type']}" for f in fields if f["name"] != "valid_from"
+            f"`{f['name']}` {f['type']}"
+            for f in self._closed_fields(m, version)
         ]
         cols += ["valid_from long", "valid_to long"]
         return ", ".join(cols)
 
-    def read_closed(self) -> DataFrame:
-        segs = self.closed_segments()
-        ddl = self._closed_ddl()
+    def read_closed(self, segs: list[str] | None = None) -> DataFrame:
+        """Read the live closed log at the CURRENT schema. Segments written
+        before an ``open.evolve()`` are read with their recorded schema and
+        field-id-aligned (rename/cast/NULL-fill) — the same read path the
+        open table's own old files get, so history follows schema evolution
+        instead of silently NULLing renamed columns."""
+        m = self.open._load()
+        if segs is None:
+            segs = self.closed_segments()
         if not segs:
-            return self.spark.createDataFrame([], ddl)
-        return self.spark.read.schema(ddl).parquet(*segs)
+            return self.spark.createDataFrame([], self._closed_ddl(m))
+        by_schema: dict[int | None, list[str]] = {}
+        for s in segs:
+            by_schema.setdefault(self._seg_schema(os.path.basename(s)), []).append(s)
+        cur = self._closed_fields(m, None)
+        parts = []
+        for ver, paths in by_schema.items():
+            df = self.spark.read.schema(self._closed_ddl(m, ver)).parquet(*paths)
+            old = {f["id"]: f for f in self._closed_fields(m, ver)}
+            exprs = [F.col(k) for k in m["key_cols"]]
+            for f in cur:
+                o = old.get(f["id"])
+                if o is None:
+                    exprs.append(F.lit(None).cast(f["type"]).alias(f["name"]))
+                else:
+                    exprs.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
+            exprs += [F.col("valid_from"), F.col("valid_to")]
+            parts.append(df.select(*exprs))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 def create_history_table(
@@ -278,17 +324,26 @@ def scd2_apply(
     open_t = history.open
     m = open_t._load()
     B, bucket_cols = m["num_buckets"], m.get("bucket_cols")
-    batch = _one_change_per_seq(batch, key_cols, seq_col)
+    # persisted: the deduped batch feeds five consumers (range aggregate,
+    # touched-bucket collect, firsts, the segment write via `chained`, the
+    # open-table merge via `lasts`) — without this the dedup shuffle would
+    # re-execute for each
+    batch = _one_change_per_seq(batch, key_cols, seq_col).persist()
 
     # segment identity = the deduped batch's seq range (batches are
-    # non-overlapping binlog segments); also the idempotence key
+    # non-overlapping binlog segments); also the idempotence key. The
+    # trailing s<schema> records the open table's schema version at write
+    # time so read_closed can field-id-align old segments after evolve().
     rng = batch.agg(
         F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if rng["n"] == 0:
+        batch.unpersist()
         return Scd2Stats(0, 0, None, m["version"])
-    seg_name = f"seg-{rng['lo']:020d}-{rng['hi']:020d}-{rng['n']}"
+    seg_name = (
+        f"seg-{rng['lo']:020d}-{rng['hi']:020d}-{rng['n']}-s{m['current_schema']}"
+    )
     seg_path = os.path.join(history.closed_dir, seg_name)
     seg_done = history.io.exists(os.path.join(seg_path, "_SUCCESS"))
 
@@ -306,10 +361,18 @@ def scd2_apply(
             _bucket_expr(bucket_cols, B).alias("bkt")
         ).distinct().collect()
     )
-    state = open_t._state_df(m, touched).where(F.col("_op") != "D")
+    # RAW state including delete tombstones: a tombstone carries the
+    # delete's seq as valid_from, which is exactly what the late guard
+    # needs — without it, late events for a DELETED key would sail past
+    # the guard (no open row to compare against) and write overlapping
+    # intervals into a fresh segment. Tombstone protection lasts as long
+    # as the tombstone (purge_tombstones on the open table shortens it —
+    # same retention trade-off as the merge's own late-event guard M9).
+    state = open_t._state_df(m, touched)
     open_rows = state.select(
         *[F.col(c).alias(f"_k_{c}") for c in key_cols],
         F.col("valid_from").alias("_open_from"),
+        F.col("_op").alias("_open_op"),
         *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
     )
     cond = F.lit(True)
@@ -329,7 +392,12 @@ def scd2_apply(
             F.col("_first_seq") <= F.col("_open_from")
         ).select(*[F.col(f"_k_{c}").alias(c) for c in key_cols])
         n_late = late_keys.count()
-        closers = joined.where(F.col("_first_seq") > F.col("_open_from"))
+        # only LIVE open rows need closing; a tombstoned key's history was
+        # already closed by the delete itself
+        closers = joined.where(
+            (F.col("_first_seq") > F.col("_open_from"))
+            & (F.col("_open_op") != "D")
+        )
 
         def _not_late(df):
             return df.join(late_keys, key_cols, "left_anti") if n_late else df
@@ -370,6 +438,7 @@ def scd2_apply(
         st = open_t.merge_apply(upserts, stats="light")
     finally:
         joined.unpersist()
+        batch.unpersist()
     return Scd2Stats(
         rows_in=st.rows_in,
         n_late=n_late,

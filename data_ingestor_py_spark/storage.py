@@ -182,6 +182,16 @@ class StorageAdapter:
         a retry can claim the version). Returns True if reclaimed."""
         return False
 
+    def mtime(self, key: str) -> float | None:
+        """Last-modified time of a key/prefix, or None if unknown — used
+        by grace-period sweeps (an object-store adapter takes this from
+        the listing's LastModified; callers must treat None as 'not
+        sweepable yet', never as 'infinitely old')."""
+        try:
+            return os.stat(key).st_mtime
+        except OSError:
+            return None
+
 
 class PosixStorage(StorageAdapter):
     """Local-filesystem adapter (the default; also the shape of HDFS).

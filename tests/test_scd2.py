@@ -193,3 +193,70 @@ def test_segment_compaction(spark):
             ev.unionByName(late_free) if late_free.count() else ev, KEYS, PAY
         ).collect()
     )
+
+
+def test_late_events_for_deleted_key_quarantined(spark):
+    """The late guard must hold for DELETED keys too: the tombstone's seq
+    anchors the comparison, so a contract-violating replay of pre-delete
+    events is counted + dropped instead of writing overlapping intervals."""
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    ddl = ("repo string, path string, lang string, content string, "
+           "_seq long, _op string, _ts timestamp")
+    b1 = spark.createDataFrame(
+        [("r1", "a", "py", "v1", 10, "U", None),
+         ("r1", "a", "py", "v2", 20, "U", None),
+         ("r1", "a", None, None, 30, "D", None)], ddl,
+    ).withColumn("_ts", F.current_timestamp())
+    scd2_apply(h, b1, KEYS, PAY)
+    before = _hist_rows(h)
+    assert [t[-1] for t in before] == [20, 30]  # both intervals closed
+    # late replay of the key's OLD events (seq < tombstone)
+    late = spark.createDataFrame(
+        [("r1", "a", "py", "v1b", 12, "U", None)], ddl
+    ).withColumn("_ts", F.current_timestamp())
+    st = scd2_apply(h, late, KEYS, PAY)
+    assert st.n_late == 1
+    assert _hist_rows(h) == before  # no overlapping interval appeared
+    # a legitimate RE-INSERT after the delete opens a fresh interval
+    re_ins = spark.createDataFrame(
+        [("r1", "a", "go", "v3", 40, "U", None)], ddl
+    ).withColumn("_ts", F.current_timestamp())
+    st = scd2_apply(h, re_ins, KEYS, PAY)
+    assert st.n_late == 0
+    rows = _hist_rows(h)
+    assert (("r1", "a", "go", "v3", 40, None) in rows) and len(rows) == 3
+
+
+def test_history_follows_schema_evolution(spark):
+    """Segments record their schema version; after open.evolve(rename=...)
+    old segments are field-id-aligned, not silently NULLed."""
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    ev = _events(spark, n=800, seed=91)
+    b1, b2 = _range_batches(ev, 2)
+    scd2_apply(h, b1, KEYS, PAY)
+    h.open.evolve(rename={"lang": "language"})
+    # apply batch 2 under the NEW schema
+    scd2_apply(h, b2.withColumnRenamed("lang", "language"),
+               KEYS, ["language", "content"])
+    hist = read_history(h)
+    assert "language" in hist.columns and "lang" not in hist.columns
+    # pre-evolve closed intervals still carry their values under the new name
+    n_null = hist.where(F.col("language").isNull()).count()
+    assert n_null == 0
+    # and the whole history equals the transform over renamed events
+    full = _ns(
+        tuple(r) for r in scd2_transform(
+            ev.withColumnRenamed("lang", "language"), KEYS, ["language", "content"]
+        ).collect()
+    )
+    got = _ns(
+        tuple(r)
+        for r in hist.select(*KEYS, "language", "content", "valid_from", "valid_to").collect()
+    )
+    assert got == full
