@@ -324,11 +324,13 @@ def scd2_apply(
     open_t = history.open
     m = open_t._load()
     B, bucket_cols = m["num_buckets"], m.get("bucket_cols")
-    # persisted: the deduped batch feeds five consumers (range aggregate,
-    # touched-bucket collect, firsts, the segment write via `chained`, the
-    # open-table merge via `lasts`) — without this the dedup shuffle would
-    # re-execute for each
-    batch = _one_change_per_seq(batch, key_cols, seq_col).persist()
+    # deliberately NOT persisted: the deduped batch feeds five consumers,
+    # but three of them (range aggregate, touched-bucket collect, firsts)
+    # are NARROW — column pruning reaches the scan and the re-executed
+    # dedup agg runs over one or two columns. Caching would materialize
+    # the full width once and deny pruning to every consumer; measured at
+    # sf0.1 that costs ~2s/apply (6.4s vs 4.1s steady).
+    batch = _one_change_per_seq(batch, key_cols, seq_col)
 
     # segment identity = the deduped batch's seq range (batches are
     # non-overlapping binlog segments); also the idempotence key. The
@@ -339,7 +341,6 @@ def scd2_apply(
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     if rng["n"] == 0:
-        batch.unpersist()
         return Scd2Stats(0, 0, None, m["version"])
     seg_name = (
         f"seg-{rng['lo']:020d}-{rng['hi']:020d}-{rng['n']}-s{m['current_schema']}"
@@ -438,7 +439,6 @@ def scd2_apply(
         st = open_t.merge_apply(upserts, stats="light")
     finally:
         joined.unpersist()
-        batch.unpersist()
     return Scd2Stats(
         rows_in=st.rows_in,
         n_late=n_late,
