@@ -260,3 +260,38 @@ def test_history_follows_schema_evolution(spark):
         for r in hist.select(*KEYS, "language", "content", "valid_from", "valid_to").collect()
     )
     assert got == full
+
+
+def test_streaming_scd2_matches_transform(spark, tmp_path):
+    """stream_scd2: seq-ordered event files drained per-file converge to
+    the one-pass transform; a restart with no new files is a no-op."""
+    from data_ingestor_py_spark.streaming.stream_scd2 import stream_scd2
+
+    ev = _events(spark, n=1500, seed=52)
+    src = str(tmp_path / "events")
+    # seq-ranged files written in order -> per-key-ordered epochs
+    mx = ev.agg(F.max("_seq")).collect()[0][0]
+    for i in range(3):
+        ev.where((F.col("_seq") * 3 / (mx + 1)).cast("int") == i).coalesce(1)\
+          .write.mode("append").parquet(src)
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    schema = ("repo string, path string, lang string, content string, "
+              "_seq long, _op string, _ts timestamp")
+    stats = []
+    q = stream_scd2(
+        spark, src, schema, h, KEYS, PAY,
+        checkpoint_dir=str(tmp_path / "cp"), max_files_per_trigger=1,
+        on_epoch=lambda e, s: stats.append((e, s.n_late)),
+    )
+    q.awaitTermination(120)
+    assert len(stats) == 3 and all(n == 0 for _, n in stats)
+    full = _ns(tuple(r) for r in scd2_transform(ev, KEYS, PAY).collect())
+    assert _hist_rows(h) == full
+    # restart with the same checkpoint: no new files -> no new epochs
+    q = stream_scd2(spark, src, schema, h, KEYS, PAY,
+                    checkpoint_dir=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    assert _hist_rows(h) == full
