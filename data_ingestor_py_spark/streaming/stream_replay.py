@@ -44,6 +44,7 @@ def stream_replay(
     event_time_col: str = "_ts",
     dedup_id_cols: tuple[str, ...] = ("repo", "path", "_seq"),
     on_epoch_start=None,
+    on_epoch_end=None,
 ):
     """Tail a directory of event files (parquet) and merge each micro-batch.
 
@@ -142,8 +143,10 @@ def stream_replay(
         # committed checkpoint is never misreported as failed when only the
         # lineage append broke.
         stage = "checkpoint"
+        checkpointed = False
         try:
             cp.commit(rec)
+            checkpointed = True
             stage = "lineage"
             lin.append(epoch_id, st.bucket_rows)
         except OSError as e:  # metadata store down — L2 fallback path
@@ -153,6 +156,12 @@ def stream_replay(
                    else "LINEAGE_WRITE_FAILED",
                    str(e), batch_id=epoch_id,
                    record=asdict(rec), bucket_rows=st.bucket_rows)
+        # same contract as replay()'s on_batch_end: fires only once the
+        # epoch's checkpoint is DURABLE (the fallback path re-fires on the
+        # resume re-application; consumers must be idempotent per epoch —
+        # IncrementalAggregate.refresh is)
+        if on_epoch_end is not None and checkpointed:
+            on_epoch_end(epoch_id, table, rec)
 
     writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
     if checkpoint_dir:

@@ -199,3 +199,39 @@ def test_mv_refresh_over_streamed_table(spark, tmp_path):
     got = sorted(tuple(r) for r in mv.read().collect())
     want = sorted(tuple(r) for r in mv.recompute().collect())
     assert got == want and got
+
+
+def test_stream_on_epoch_end_mv_refresh(spark, tmp_path):
+    """Per-epoch MV maintenance over a live stream: the on_epoch_end hook
+    fires after each durable epoch checkpoint and the MV tracks every
+    intermediate snapshot exactly."""
+    ev = change_events(spark, 1500, n_repos=8, paths_per_repo=8, seed=61)
+    src = str(tmp_path / "events")
+    ev.repartition(2).write.parquet(src)
+    t = make_table(spark, tmp_path / "t")
+    schema = (
+        "event_id long, repo string, path string, commit string, _seq long, "
+        "_op string, _ts timestamp, lang string, content string, _schema_version int"
+    )
+    prep = lambda df, _e=0: df.withColumn(  # noqa: E731
+        "_content_sha256", F.sha2(F.col("content"), 256)
+    ).select("repo", "path", "commit", "lang", "content", "_content_sha256",
+             "_seq", "_op", "_ts")
+    mv = IncrementalAggregate.create(
+        spark, str(tmp_path / "mv"), t,
+        group_cols=["lang"], sum_cols=[("sum_seq", "_seq")],
+    )
+    checks = []
+
+    def on_end(epoch, table, rec):
+        mv.refresh()
+        got = sorted(tuple(r) for r in mv.read().collect())
+        want = sorted(tuple(r) for r in mv.recompute().collect())
+        checks.append(got == want)
+
+    q = stream_replay(spark, src, schema, t, prepare=prep,
+                      checkpoint_dir=str(tmp_path / "cp"),
+                      max_files_per_trigger=1, on_epoch_end=on_end)
+    q.awaitTermination(120)
+    assert len(checks) >= 2 and all(checks)
+    assert mv.synced_version() == t._load()["version"]
