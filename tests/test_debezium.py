@@ -109,3 +109,62 @@ def test_changelog_roundtrip_between_tables(spark):
         tuple(r) for r in t.read().select("repo", "path", "lang", "value_str", "_seq").collect()
     )
     assert pick(b) == pick(a)
+
+
+def test_stream_debezium_replay(spark, tmp_path):
+    """Tail envelope JSON-lines into a table: merged state equals a batch
+    replay of the same events; malformed lines land in the dead-letter
+    dir with their epoch; a checkpointed restart is a no-op."""
+    from data_ingestor_py_spark.streaming.stream_debezium import (
+        stream_debezium_replay,
+    )
+
+    cols = dict(key_cols=["repo", "path"],
+                columns=[("value", "double")], num_buckets=4)
+    ref = TargetTable.create(spark, _mkroot("sdbz-ref-"), **cols)
+    t = TargetTable.create(spark, _mkroot("sdbz-t-"), **cols)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src_rows = ev.select(
+        F.col("user_id").cast("string").alias("repo"),
+        F.regexp_extract("props", r'"k":\s*([0-9]+)', 1).cast("long").cast("string").alias("path"),
+        F.col("value"),
+        F.when(F.col("event_type") == "error", "d").otherwise("u").alias("op"),
+        F.unix_millis(F.col("ts").cast("timestamp")).alias("ts_ms"),
+        F.col("event_id").alias("lsn"),
+    )
+    env = src_rows.select(
+        to_debezium_json(
+            F.struct("repo", "path", "value"), F.col("op"), F.col("ts_ms"), F.col("lsn")
+        ).alias("value")
+    )
+    src = str(tmp_path / "envelopes")
+    env.coalesce(2).write.mode("overwrite").text(src)
+    # inject malformed lines as an extra file
+    spark.createDataFrame(
+        [("garbage {{{",), ('{"op":"t","ts_ms":1}',)], "value string"
+    ).coalesce(1).write.mode("append").text(src)
+
+    dl = str(tmp_path / "dead")
+    q = stream_debezium_replay(
+        spark, src, ROW_FIELDS, t, dead_letter_dir=dl,
+        checkpoint_dir=str(tmp_path / "cp"), max_files_per_trigger=2,
+    )
+    q.awaitTermination(120)
+
+    # reference: batch replay of the same normalized events
+    ref.merge_apply(
+        parse_debezium(spark.read.text(src), ROW_FIELDS).drop("src_op")
+    )
+    assert t.snapshot_hash() == ref.snapshot_hash()
+    dead = spark.read.json(f"{dl}/*")
+    assert sorted(r["raw"] for r in dead.collect()) == [
+        "garbage {{{", '{"op":"t","ts_ms":1}'
+    ]
+    h = t.snapshot_hash()
+    q = stream_debezium_replay(
+        spark, src, ROW_FIELDS, t, dead_letter_dir=dl,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    q.awaitTermination(120)
+    assert t.snapshot_hash() == h  # restart: no new files, no change
