@@ -6,10 +6,15 @@ malformed/non-row records quarantined per epoch.
 This is the reference's file-tail loop (fileprocesser/file_processor.py:
 54-86) upgraded to the real binlog wire format: the text source is
 splittable, the envelope parse is Catalyst-only, the merge is the
-engine's idempotent max-seq upsert (re-delivered epochs converge), and
-every input line is accounted for — change events merge, tombstones are
-dropped by design, everything else lands in the dead-letter directory
-with its epoch for operator forensics.
+engine's idempotent max-seq upsert (re-delivered epochs converge), and —
+WHEN ``dead_letter_dir`` is set (recommended) — every input line is
+accounted for: change events merge, tombstones are dropped by design,
+everything else lands in the dead-letter directory partitioned by epoch
+for operator forensics (``spark.read.json(dead_letter_dir)`` recovers
+raw line + epoch). The per-epoch quarantine write is ``overwrite``, so a
+re-delivered epoch rewrites the same records instead of duplicating
+them. Without ``dead_letter_dir`` non-change lines are dropped silently
+— only acceptable for feeds already validated upstream.
 """
 
 from __future__ import annotations
@@ -18,10 +23,10 @@ import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.plans.target import TargetTable
 from data_ingestor_py_spark.sources.debezium import dead_letters, parse_debezium
+from data_ingestor_py_spark.streaming.stream_replay import start_foreach_stream
 
 
 def stream_debezium_replay(
@@ -51,18 +56,16 @@ def stream_debezium_replay(
 
     def apply_epoch(df: DataFrame, epoch_id: int) -> None:
         if dead_letter_dir is not None:
-            dead = dead_letters(df, row_fields, ts_ms_fallback=ts_ms_fallback)
-            if dead.limit(1).count():
-                dead.withColumn("epoch", F.lit(epoch_id)).write.mode(
-                    "append"
-                ).json(os.path.join(dead_letter_dir, f"epoch={epoch_id}"))
+            # unconditional overwrite into the epoch-keyed partition dir:
+            # idempotent under re-delivery, no existence-probe scan (an
+            # empty epoch dir is harmless), and the epoch itself comes back
+            # through partition discovery — a data column named `epoch`
+            # would collide with the partition column on read
+            dead_letters(df, row_fields, ts_ms_fallback=ts_ms_fallback).write.mode(
+                "overwrite"
+            ).json(os.path.join(dead_letter_dir, f"epoch={epoch_id}"))
         ev = parse_debezium(df, row_fields, ts_ms_fallback=ts_ms_fallback)
         batch = prepare(ev, epoch_id) if prepare is not None else ev.drop("src_op")
         table.merge_apply(batch, salt_buckets=salt_buckets, stats="light")
 
-    writer = stream.writeStream.foreachBatch(apply_epoch).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_foreach_stream(stream, apply_epoch, checkpoint_dir, available_now)

@@ -29,6 +29,18 @@ from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint, Lin
 from data_ingestor_py_spark.plans.target import TargetTable
 
 
+def start_foreach_stream(stream, apply_fn, checkpoint_dir, available_now):
+    """Shared writer plumbing for the engine's foreachBatch drivers
+    (stream_replay / stream_scd2 / stream_debezium_replay): one place for
+    outputMode, checkpointLocation, and the availableNow trigger."""
+    writer = stream.writeStream.foreachBatch(apply_fn).outputMode("update")
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_replay(
     spark: SparkSession,
     events_dir: str,
@@ -116,6 +128,12 @@ def stream_replay(
     def apply_batch(df: DataFrame, epoch_id: int) -> None:
         t0 = time.time()
         if epoch_id in already_committed:
+            # re-delivered after a crash between our checkpoint and Spark's
+            # offset commit: the merge/metadata are done, but the hook may
+            # not have fired before the crash — fire it now (at-least-once;
+            # consumers are idempotent per epoch)
+            if on_epoch_end is not None:
+                on_epoch_end(epoch_id, table, None)
             return
         if on_epoch_start is not None:
             # schema-evolution hook per micro-batch (the streaming analogue
@@ -143,10 +161,8 @@ def stream_replay(
         # committed checkpoint is never misreported as failed when only the
         # lineage append broke.
         stage = "checkpoint"
-        checkpointed = False
         try:
             cp.commit(rec)
-            checkpointed = True
             stage = "lineage"
             lin.append(epoch_id, st.bucket_rows)
         except OSError as e:  # metadata store down — L2 fallback path
@@ -156,16 +172,16 @@ def stream_replay(
                    else "LINEAGE_WRITE_FAILED",
                    str(e), batch_id=epoch_id,
                    record=asdict(rec), bucket_rows=st.bucket_rows)
-        # same contract as replay()'s on_batch_end: fires only once the
-        # epoch's checkpoint is DURABLE (the fallback path re-fires on the
-        # resume re-application; consumers must be idempotent per epoch —
-        # IncrementalAggregate.refresh is)
-        if on_epoch_end is not None and checkpointed:
+        # streaming hook contract differs from replay()'s on_batch_end:
+        # what consumers (MV refresh) depend on is the TABLE SNAPSHOT,
+        # which IS durable once merge_apply returned — and unlike batch
+        # replay, a metadata-store fallback here has no later resume
+        # re-application to re-fire the hook (Spark commits its offsets
+        # regardless), so gating on our metadata row would silently starve
+        # the consumer. Fire after the snapshot commit, at-least-once per
+        # epoch (the already-committed branch above covers the
+        # crash-before-hook case); consumers must be idempotent.
+        if on_epoch_end is not None:
             on_epoch_end(epoch_id, table, rec)
 
-    writer = stream.writeStream.foreachBatch(apply_batch).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_foreach_stream(stream, apply_batch, checkpoint_dir, available_now)

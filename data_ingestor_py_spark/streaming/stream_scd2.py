@@ -13,9 +13,9 @@ inflate on re-delivery).
 Ordering contract (inherited from scd2_apply): epochs must arrive per-key
 ordered — true when the event files are written in seq order (the file
 source processes by modification time) or when a single upstream producer
-appends them. Violations are quarantined and surfaced through the
-returned query's progress (`n_late` accumulates in ``Scd2History`` stats;
-attach an ``on_epoch`` callback to observe per-epoch stats).
+appends them. Violating events are COUNTED AND DROPPED (``n_late`` — see
+plans/scd.py; rebuild via ``scd2_transform`` to honor a late backfill);
+attach an ``on_epoch`` callback to observe per-epoch stats.
 """
 
 from __future__ import annotations
@@ -25,6 +25,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from data_ingestor_py_spark.plans.scd import Scd2History, Scd2Stats, scd2_apply
+from data_ingestor_py_spark.streaming.stream_replay import start_foreach_stream
 
 
 def stream_scd2(
@@ -54,9 +55,4 @@ def stream_scd2(
         if on_epoch is not None:
             on_epoch(epoch_id, st)
 
-    writer = stream.writeStream.foreachBatch(apply_epoch).outputMode("update")
-    if checkpoint_dir:
-        writer = writer.option("checkpointLocation", checkpoint_dir)
-    if available_now:
-        writer = writer.trigger(availableNow=True)
-    return writer.start()
+    return start_foreach_stream(stream, apply_epoch, checkpoint_dir, available_now)

@@ -157,7 +157,9 @@ def test_stream_debezium_replay(spark, tmp_path):
         parse_debezium(spark.read.text(src), ROW_FIELDS).drop("src_op")
     )
     assert t.snapshot_hash() == ref.snapshot_hash()
-    dead = spark.read.json(f"{dl}/*")
+    # the operator-forensics read: partition discovery supplies `epoch`
+    dead = spark.read.json(dl)
+    assert set(dead.columns) == {"raw", "epoch"}
     assert sorted(r["raw"] for r in dead.collect()) == [
         "garbage {{{", '{"op":"t","ts_ms":1}'
     ]
