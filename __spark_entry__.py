@@ -1762,7 +1762,10 @@ def oracle_sql() -> dict[str, str]:
         # incremental MV == plain GROUP BY over the replayed final state
         "incremental_mv_lang_counts": (
             f"SELECT event_type AS lang, count(*) AS n_rows, "
-            f"sum(event_id) AS sum_seq "
+            # CAST: DuckDB sum(BIGINT) -> HUGEINT renders as float via
+            # pandas, breaking hash parity with Spark's BIGINT (same
+            # class as the r3 pack_sequences fix).
+            f"CAST(sum(event_id) AS BIGINT) AS sum_seq "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"GROUP BY 1"
         ),

@@ -106,6 +106,50 @@ class IncrementalAggregate:
 
     # ---------------- refresh ----------------
 
+    def _roll_forward_pending(self, v_from: int) -> BatchRecord | None:
+        """Crash-recovery for the fold/checkpoint commit gap.
+
+        The MV-table merge and the checkpoint commit are two durable
+        writes; a crash between them would otherwise make the next refresh
+        re-fold an already-applied delta — and MV deltas are RELATIVE, so
+        re-application double-counts (unlike replay, whose events are
+        absolute per-key state). Every fold therefore records its intent
+        (``mv_synced_upto`` etc.) in ``app_meta`` INSIDE the same manifest
+        commit as the aggregate rows. If that intent is ahead of the
+        checkpoint, the fold landed but its checkpoint didn't: commit the
+        missing record now (stats recovered from the manifest history) and
+        return it — the caller then re-reads synced_version() instead of
+        folding."""
+        m = self.table._load()
+        am = m.get("app_meta", {})
+        if am.get("consumer") != "mv" or int(am.get("mv_synced_upto", 0)) <= v_from:
+            return None
+        v_to = int(am["mv_synced_upto"])
+        # the pending fold is necessarily the MV table's LATEST commit:
+        # refresh/reseed are this table's only writers and the checkpoint
+        # lagging proves nothing ran after the fold
+        snap_v = int(m["version"])
+        hist = next(
+            (h for h in reversed(m["history"]) if h["snapshot"] == snap_v), {}
+        )
+        now = time.time()
+        rec = BatchRecord(
+            batch_id=v_to,
+            src_offset_start=int(am.get("mv_synced_from", v_from)),
+            src_offset_end=v_to,
+            rows_in=int(hist.get("rows_in", -1)),
+            rows_applied=int(hist.get("rows_applied", -1) or -1),
+            touched_buckets=len(hist.get("buckets", [])),
+            snapshot_version=snap_v,
+            checksum="",
+            status="COMMITTED",
+            started_at=now,
+            committed_at=now,
+            duration_s=0.0,
+        )
+        self.cp.commit(rec)
+        return rec
+
     def refresh(
         self, upto_version: int | None = None, auto_reseed: bool = False
     ) -> BatchRecord | None:
@@ -122,6 +166,8 @@ class IncrementalAggregate:
         ``auto_reseed=True``, falls back to a full :meth:`reseed`.
         """
         v_from = self.synced_version()
+        if self._roll_forward_pending(v_from) is not None:
+            v_from = self.synced_version()
         v_to = (
             upto_version
             if upto_version is not None
@@ -190,7 +236,17 @@ class IncrementalAggregate:
             F.lit(v_to).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
         )
-        st = self.table.merge_apply(upserts, stats="light")
+        st = self.table.merge_apply(
+            upserts,
+            stats="light",
+            # committed atomically with the fold: makes the fold/checkpoint
+            # gap crash-recoverable (see _roll_forward_pending)
+            app_meta={
+                "consumer": "mv",
+                "mv_synced_from": v_from,
+                "mv_synced_upto": v_to,
+            },
+        )
         t1 = time.time()
         rec = BatchRecord(
             batch_id=v_to,
@@ -242,7 +298,18 @@ class IncrementalAggregate:
             F.lit(v_to).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
         )
-        st = self.table.merge_apply(upserts, stats="light")
+        # the reseed merge itself is absolute (idempotent), but a crash
+        # before the checkpoint commit must not let a later refresh() fold
+        # a pre-reseed delta on top — record intent atomically here too
+        st = self.table.merge_apply(
+            upserts,
+            stats="light",
+            app_meta={
+                "consumer": "mv",
+                "mv_synced_from": -1,
+                "mv_synced_upto": v_to,
+            },
+        )
         t1 = time.time()
         rec = BatchRecord(
             batch_id=v_to,

@@ -139,6 +139,13 @@ class TargetTable:
             self.io.put(self._manifest_path, json.dumps(m2, indent=1).encode())
             m = m2
 
+    def read_app_meta(self) -> dict:
+        """Latest committed ``app_meta`` (see :meth:`merge_apply`) — empty
+        dict if no merge ever recorded one. Subsequent commits carry the
+        last value forward, so consumers must treat it as 'most recent
+        intent', guarded by their own progress comparison."""
+        return self._load().get("app_meta", {})
+
     def _commit_manifest(self, m: dict) -> None:
         """Optimistic-concurrency commit (Iceberg's protocol in miniature):
 
@@ -390,11 +397,22 @@ class TargetTable:
         max_commit_retries: int = 5,
         auto_salt_min_rows: int = 100_000,
         auto_salt_skew_ratio: float = 8.0,
+        app_meta: dict | None = None,
     ) -> MergeStats:
         """Apply one micro-batch of change events. On a concurrent-writer
         commit conflict the whole merge is recomputed against the winner's
         snapshot and retried (losers' work is discarded, like Iceberg's
         optimistic retry) up to ``max_commit_retries`` times.
+
+        ``app_meta`` is an opaque application dict committed ATOMICALLY
+        inside the table manifest (``manifest["app_meta"]``) with this
+        merge — the hook consumers use to make non-idempotent folds
+        crash-recoverable: a consumer whose progress checkpoint is a
+        *separate* durable write (e.g. the incremental-MV refresh) records
+        its intended progress here, so a crash between the table commit
+        and the checkpoint commit is detectable and the checkpoint can be
+        rolled forward instead of re-applying a relative delta. The latest
+        committed value is readable via :meth:`read_app_meta`.
 
         ``salt_buckets`` may be ``"auto"``: the per-bucket stats the
         discovery job already collects decide per batch — if any bucket
@@ -408,7 +426,8 @@ class TargetTable:
         for attempt in range(max_commit_retries + 1):
             try:
                 return self._merge_apply_once(
-                    batch, salt_buckets, stats, auto_salt_min_rows, auto_salt_skew_ratio
+                    batch, salt_buckets, stats, auto_salt_min_rows,
+                    auto_salt_skew_ratio, app_meta,
                 )
             except CommitConflict:
                 if attempt == max_commit_retries:
@@ -422,6 +441,7 @@ class TargetTable:
         stats: str = "full",
         auto_salt_min_rows: int = 100_000,
         auto_salt_skew_ratio: float = 8.0,
+        app_meta: dict | None = None,
     ) -> MergeStats:
         """Apply one micro-batch of change events.
 
@@ -592,6 +612,8 @@ class TargetTable:
             {"at": time.time(), "snapshot": new_v, "op": "merge",
              "rows_in": rows_in, "rows_applied": rows_dedup, "buckets": touched}
         )
+        if app_meta is not None:
+            m["app_meta"] = dict(app_meta)
         self._commit_manifest(m)
         return MergeStats(
             rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()),
