@@ -407,7 +407,13 @@ def bigram_lm_metrics(
 # PII patterns: RE2-safe subset (no backrefs/lookaround) so the Spark (Java
 # regex) and DuckDB (RE2) engines agree match-for-match.
 PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-PII_IPV4 = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+# IPv4: \b-anchored (no matches inside word runs like 'v1.2.3.4x'), octets
+# constrained to 0-255 ('999.999.999.999' is not an address), and a
+# trailing dotted-run swallow so '1.2.3.4.5' redacts WHOLLY instead of
+# leaking a partial '<IP>.5' remnant (lookarounds would be cleaner but are
+# not RE2-safe; the swallow is the strongest RE2-expressible form).
+_OCTET = r"(25[0-5]|2[0-4][0-9]|1?[0-9]{1,2})"
+PII_IPV4 = rf"\b({_OCTET}\.){{3}}{_OCTET}(\.[0-9]{{1,3}})*\b"
 PII_PHONE = r"\+[0-9]{7,15}"
 
 

@@ -28,13 +28,15 @@ O(history), the classic COW-for-append-data anti-pattern). So
   live-key count; the merge's bucket-pruned COW is the right tool here.
 - ``closed/`` — an append-only segment log (one parquet dir per applied
   batch, named by the batch's deduped seq range). Segments are immutable
-  and written exactly once: the writer SKIPS a segment that already
-  exists with a ``_SUCCESS`` marker, so an at-least-once driver
-  re-applying a batch cannot duplicate or clobber history (a re-apply
-  also finds every key "late" in the open table and leaves it untouched
-  — the combination makes the whole apply idempotent). A crashed write
-  leaves no ``_SUCCESS`` and is invisible to readers; the retry
-  overwrites the partial dir.
+  and written exactly once: the writer SKIPS a batch whose exact seq
+  range is already recorded in the log (segment names, plus compacted
+  segments' ``_COMMIT`` range lists — so the skip survives schema
+  evolution renaming the segment suffix AND compaction deleting the
+  original dirs), so an at-least-once driver re-applying a batch cannot
+  duplicate or clobber history (a re-apply also finds every key "late"
+  in the open table and leaves it untouched — the combination makes the
+  whole apply idempotent). A crashed write leaves no ``_SUCCESS`` and is
+  invisible to readers; the retry overwrites the partial dir.
 
 Per-batch cost is then O(batch + live keys in touched buckets) and FLAT
 in accumulated history — the property that makes a 10^10-event history
@@ -137,41 +139,76 @@ class Scd2History:
     def _seg_schema(name: str) -> int | None:
         """Schema version a segment was written under (from the ``-s<v>``
         name suffix); None for pre-suffix segments (read at the current
-        schema, the pre-versioning behavior)."""
-        last = name.split("-")[-1]
+        schema, the pre-versioning behavior). Compacted segments carry a
+        trailing ``-c`` after the schema suffix."""
+        parts = name.split("-")
+        last = parts[-2] if parts[-1] == "c" else parts[-1]
         return int(last[1:]) if last.startswith("s") else None
+
+    @staticmethod
+    def _is_compacted(name: str) -> bool:
+        return name.endswith("-c")
 
     @staticmethod
     def _seg_count(name: str) -> int:
         parts = name.split("-")
         return int(parts[3])
 
-    def _complete_segments(self) -> tuple[list[str], list[str]]:
-        """(all ``_SUCCESS``-marked segment names, the LIVE subset).
+    def _commit_path(self, name: str) -> str:
+        return os.path.join(self.closed_dir, name, "_COMMIT")
 
-        CONTAINMENT RULE: a segment whose seq range is fully contained in
-        another complete segment's range is a compaction leftover (the
-        merged segment supersedes it — see :meth:`compact_segments`) and
-        is not live. Ranges come from the names alone, so the rule costs
-        one listing, no data reads; batches cover non-overlapping ranges
-        by contract, so containment is unambiguous."""
+    def _read_commit(self, name: str) -> dict:
+        import json
+
+        raw = self.io.get(self._commit_path(name))
+        return json.loads(raw) if raw is not None else {}
+
+    def _complete_segments(self) -> tuple[list[str], list[str]]:
+        """(all complete segment names, the LIVE subset).
+
+        Completion marker: an original (per-batch) segment is complete
+        when its ``_SUCCESS`` exists; a COMPACTED segment (``-c`` suffix)
+        is complete only when its ``_COMMIT`` object exists — written
+        atomically AFTER the parquet job, so a compactor crash between
+        the parquet ``_SUCCESS`` and the commit leaves the merged dir
+        invisible and the inputs untouched.
+
+        EXPLICIT SUPERSESSION (not range containment — ADVICE r4): a
+        compacted segment's ``_COMMIT`` names the exact input segments it
+        replaced; those are retired by NAME. Inferring retirement from
+        range containment had two data-loss modes: equal-range twins
+        (re-delivered batch after ``evolve()`` gets a new ``-s<v>``
+        suffix) mutually contained — and destroyed — each other, and a
+        later batch landing in a GAP of a compacted union range (legal:
+        the contract requires non-overlap, not global monotonicity) was
+        misclassified as a leftover and deleted. Equal-range twins are
+        now tie-broken deterministically (newest schema, then name) —
+        their content is the same deduped batch, so dropping the loser
+        is safe."""
         done = [
             d
             for d in self.io.list_dirs(self.closed_dir)
             if d.startswith("seg-")
-            and self.io.exists(os.path.join(self.closed_dir, d, "_SUCCESS"))
-        ]
-        ranges = {d: self._seg_range(d) for d in done}
-        live = [
-            d
-            for d in done
-            if not any(
-                o != d
-                and ranges[o][0] <= ranges[d][0]
-                and ranges[d][1] <= ranges[o][1]
-                for o in done
+            and (
+                self.io.exists(self._commit_path(d))
+                if self._is_compacted(d)
+                else self.io.exists(os.path.join(self.closed_dir, d, "_SUCCESS"))
             )
         ]
+        retired: set[str] = set()
+        for d in done:
+            if self._is_compacted(d):
+                retired.update(self._read_commit(d).get("inputs", []))
+        by_range: dict[tuple[int, int], str] = {}
+        for d in sorted(
+            (d for d in done if d not in retired),
+            key=lambda n: (self._seg_schema(n) is not None, self._seg_schema(n) or 0, n),
+        ):
+            r = self._seg_range(d)
+            if r in by_range:
+                retired.add(by_range[r])  # equal-range loser (older schema)
+            by_range[r] = d
+        live = [d for d in done if d not in retired]
         return done, live
 
     def closed_segments(self) -> list[str]:
@@ -182,19 +219,44 @@ class Scd2History:
             os.path.join(self.closed_dir, d) for d in self._complete_segments()[1]
         )
 
+    def applied_ranges(self) -> set[tuple[int, int]]:
+        """Exact seq ranges of every ORIGINAL batch folded into the closed
+        log: original segments contribute their name range; compacted
+        segments contribute the spliced original ranges recorded in their
+        ``_COMMIT`` (never the union range — a union says nothing about
+        which batches inside it actually ran). This is the apply-
+        idempotence key: :func:`scd2_apply` skips a batch iff its deduped
+        (lo, hi) is already here, independent of name suffixes."""
+        done, _ = self._complete_segments()
+        out: set[tuple[int, int]] = set()
+        for d in done:
+            if self._is_compacted(d):
+                out.update(
+                    (int(lo), int(hi))
+                    for lo, hi in self._read_commit(d).get("ranges", [])
+                )
+            else:
+                out.add(self._seg_range(d))
+        return out
+
     def compact_segments(self, max_live_segments: int = 64) -> str | None:
         """Maintenance: bin-pack the closed log. One segment per applied
         batch is correct but at 10^4+ batches it is small-file sprawl
         (listing pressure, tiny parquet footers). When more than
         ``max_live_segments`` are live, rewrite them ALL into one merged
-        segment named by the union range.
+        segment named by the union range (``-c`` suffix).
 
-        Crash-safe without a manifest: the merged segment's range CONTAINS
-        every input's range, so the moment it lands with ``_SUCCESS`` the
-        containment rule retires the inputs — deleting them afterwards is
-        mere hygiene, a crash mid-delete changes nothing for readers, and
-        the next call's hygiene pass finishes the cleanup. Returns the new
-        segment name (None if below the threshold)."""
+        Crash-safe via the two-step commit: the parquet job lands first
+        (invisible — a ``-c`` segment needs ``_COMMIT``), then one atomic
+        ``_COMMIT`` put makes the merged segment live AND retires the
+        inputs by name in the same instant. Deleting the inputs afterwards
+        is mere hygiene; a crash mid-delete changes nothing for readers
+        and the next call's hygiene pass finishes the cleanup. The commit
+        also splices the inputs' ORIGINAL batch ranges (recursively, for
+        re-compaction) so apply-idempotence survives input deletion.
+        Returns the new segment name (None if below the threshold)."""
+        import json
+
         done, live = self._complete_segments()
         # hygiene first: clear retired leftovers from any crashed delete
         for d in done:
@@ -210,13 +272,22 @@ class Scd2History:
         # way rewrite_data_files does for the open table
         n_total = sum(self._seg_count(n) for n in live)
         cur_schema = self.open._load()["current_schema"]
-        merged = f"seg-{lo:020d}-{hi:020d}-{n_total}-s{cur_schema}"
+        merged = f"seg-{lo:020d}-{hi:020d}-{n_total}-s{cur_schema}-c"
+        ranges: list[list[int]] = []
+        for n in live:
+            if self._is_compacted(n):
+                ranges.extend(self._read_commit(n).get("ranges", []))
+            else:
+                ranges.append(list(self._seg_range(n)))
         self.read_closed(
             [os.path.join(self.closed_dir, n) for n in live]
         ).write.mode("overwrite").parquet(os.path.join(self.closed_dir, merged))
+        self.io.put(
+            self._commit_path(merged),
+            json.dumps({"inputs": sorted(live), "ranges": sorted(ranges)}).encode(),
+        )
         for n in live:
-            if n != merged:
-                self.io.delete_prefix(os.path.join(self.closed_dir, n))
+            self.io.delete_prefix(os.path.join(self.closed_dir, n))
         return merged
 
     def sweep_partial_segments(self, grace_s: float = 900.0) -> list[str]:
@@ -232,8 +303,11 @@ class Scd2History:
         swept = []
         for d in self.io.list_dirs(self.closed_dir):
             path = os.path.join(self.closed_dir, d)
+            # a -c dir is partial until its _COMMIT lands (its parquet
+            # _SUCCESS alone does not make it visible)
+            marker = "_COMMIT" if self._is_compacted(d) else "_SUCCESS"
             if not d.startswith("seg-") or self.io.exists(
-                os.path.join(path, "_SUCCESS")
+                os.path.join(path, marker)
             ):
                 continue
             mt = self.io.mtime(path)  # adapter-provided (None = unknown)
@@ -346,7 +420,15 @@ def scd2_apply(
         f"seg-{rng['lo']:020d}-{rng['hi']:020d}-{rng['n']}-s{m['current_schema']}"
     )
     seg_path = os.path.join(history.closed_dir, seg_name)
-    seg_done = history.io.exists(os.path.join(seg_path, "_SUCCESS"))
+    # idempotence keys on the batch's SEQ RANGE, not the segment name: a
+    # re-delivered batch after open.evolve() gets a different -s<v> suffix,
+    # and a compacted log holds the range only inside a merged segment's
+    # _COMMIT — either way the batch must be skipped, never written twice
+    # (two equal-range segments would duplicate closed intervals).
+    seg_done = (
+        history.io.exists(os.path.join(seg_path, "_SUCCESS"))
+        or (int(rng["lo"]), int(rng["hi"])) in history.applied_ranges()
+    )
 
     # 1) within-batch chaining: every event (incl. deletes) closes its
     #    predecessor; non-delete events open intervals

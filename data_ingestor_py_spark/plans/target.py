@@ -317,8 +317,20 @@ class TargetTable:
         the CAS protocol like every commit. Returns the tagged version."""
         m = self._load()
         target = m["version"] if version is None else version
-        # validate the ref points at a committed snapshot
-        self._get_manifest(self._version_path(target))
+        # validate the ref points at a committed snapshot...
+        tm = self._get_manifest(self._version_path(target))
+        # ...whose data dirs are still LIVE: tagging a version whose data
+        # was already removed by expire_snapshots would otherwise succeed
+        # and read_tag would fail lazily with a path-not-found deep inside
+        # the scan (same eager check as diff_versions — one listing)
+        live = {d for d in self.io.list_dirs(self.root) if d.startswith("snap-")}
+        gone = {e["path"].split("/")[0] for e in tm["buckets"].values()} - live
+        if gone:
+            raise FileNotFoundError(
+                f"cannot tag snapshot v{target}: it references expired data "
+                f"dirs {sorted(gone)[:3]} — retention (expire_snapshots) ran "
+                "past this version"
+            )
         m.setdefault("tags", {})[name] = target
         m["version"] += 1
         m["history"].append(

@@ -202,13 +202,23 @@ def write_debezium_changelog(
     data_cols = [
         c for c in d.columns if c not in ("_change_type", "_op", "_seq", "_ts")
     ]
+    # validate the exported columns' dtypes BEFORE any write: a column
+    # outside the envelope spec vocabulary must fail fast with its name,
+    # not as a bare KeyError after the changelog already landed on disk
+    dt = dict(d.dtypes)
+    bad = [(c, dt[c]) for c in data_cols if dt[c] not in _DTYPE_TO_SPEC]
+    if bad:
+        raise TypeError(
+            "write_debezium_changelog: unsupported column dtype(s) for the "
+            f"Debezium envelope spec: {bad}; supported source dtypes: "
+            f"{sorted(_DTYPE_TO_SPEC)}"
+        )
     row = F.struct(*[F.col(c) for c in data_cols])
     op = F.when(ct == "D", F.lit("d")).when(ct == "I", F.lit("c")).otherwise(F.lit("u"))
     env = to_debezium_json(
         row, op, F.unix_millis(F.col("_ts")), F.col("_seq"), table_name
     )
     d.select(env.alias("value")).write.mode("overwrite").text(path)
-    dt = dict(d.dtypes)
     return [(c, _DTYPE_TO_SPEC[dt[c]]) for c in data_cols]
 
 

@@ -9,6 +9,7 @@ from collections import defaultdict
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.plans.scd import (
+    Scd2History,
     create_history_table,
     read_history,
     scd2_apply,
@@ -157,8 +158,9 @@ def test_partial_segment_invisible_and_swept(spark):
 
 def test_segment_compaction(spark):
     """Closed-log bin-packing: rows identical before/after, inputs retired
-    by range containment the instant the merged segment lands (a crashed
-    delete is invisible to readers and cleaned by the next call)."""
+    BY NAME via the merged segment's _COMMIT the instant it lands (a
+    crashed input delete is invisible to readers and cleaned by the next
+    call)."""
     h = create_history_table(
         spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
         num_buckets=4,
@@ -167,19 +169,26 @@ def test_segment_compaction(spark):
     for b in _range_batches(ev, 6):
         scd2_apply(h, b, KEYS, PAY)
     before = _hist_rows(h)
-    assert len(h.closed_segments()) == 6
+    inputs = [os.path.basename(s) for s in h.closed_segments()]
+    assert len(inputs) == 6
     assert h.compact_segments(max_live_segments=8) is None  # below threshold
     merged = h.compact_segments(max_live_segments=3)
     assert merged is not None
     assert [os.path.basename(s) for s in h.closed_segments()] == [merged]
     assert _hist_rows(h) == before
-    # crashed delete: resurrect a retired input segment next to the merged
-    # one -> containment keeps it invisible; the next compact cleans it
+    # the commit records the exact original batch ranges, so the applied-
+    # range idempotence key survives the input dirs' deletion
+    assert h.applied_ranges() == {
+        Scd2History._seg_range(n) for n in inputs
+    }
+    # crashed delete: resurrect a retired INPUT segment next to the merged
+    # one -> the _COMMIT inputs list keeps it invisible; next compact cleans
     import shutil as _sh
 
-    ghost = os.path.join(h.closed_dir, "seg-" + "0" * 18 + "01-" + "0" * 18 + "02-1")
+    ghost = os.path.join(h.closed_dir, inputs[0])
     _sh.copytree(os.path.join(h.closed_dir, merged), ghost)
-    assert _hist_rows(h) == before  # contained -> not double-counted
+    os.remove(os.path.join(ghost, "_COMMIT"))
+    assert _hist_rows(h) == before  # retired by name -> not double-counted
     assert h.compact_segments(max_live_segments=99) is None  # hygiene only
     assert not os.path.exists(ghost)
     # incremental apply continues on the compacted log

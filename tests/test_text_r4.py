@@ -82,6 +82,26 @@ def test_redact_pii(spark):
         re.compile(pat)
 
 
+def test_redact_pii_ipv4_hardened(spark):
+    """ADVICE r4: the IPv4 pattern is \\b-anchored, octet-constrained, and
+    swallows trailing dotted runs — no '<IP>.5' partial leakage, no
+    matches on 999.999.999.999 or inside version-string word runs."""
+    docs = spark.createDataFrame(
+        [(1, "run 1.2.3.4.5 end"),          # whole run redacted
+         (2, "bad 999.999.999.999 left"),   # not an address
+         (3, "glued x1.2.3.4x left"),       # inside a word run
+         (4, "real 255.255.255.255 edge"),
+         (5, "v1.2.3 semver left")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert out[1]["clean_text"] == "run <IP> end" and out[1]["n_ips"] == 1
+    assert out[2]["clean_text"] == "bad 999.999.999.999 left" and out[2]["n_ips"] == 0
+    assert out[3]["clean_text"] == "glued x1.2.3.4x left" and out[3]["n_ips"] == 0
+    assert out[4]["clean_text"] == "real <IP> edge" and out[4]["n_ips"] == 1
+    assert out[5]["clean_text"] == "v1.2.3 semver left" and out[5]["n_ips"] == 0
+
+
 def test_mixture_sample_properties(spark):
     docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
     target = 400
