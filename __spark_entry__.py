@@ -883,6 +883,35 @@ def q_incremental_mv_lang_counts(spark, sf_dir):
     return mv.read().select("lang", "n_rows", "sum_seq")
 
 
+def q_incremental_mv_minmax(spark, sf_dir):
+    """MIN/MAX maintenance in the delta-maintained MV (plans/mv.py):
+    inserts fold via greatest/least against the stored extremum; groups
+    where a retraction ties-or-beats it are re-aggregated from the source
+    pinned at the fold version, filtered by a broadcast semi-join — so
+    the second fold here genuinely exercises the targeted-recompute path
+    (the flagship stream deletes/updates extremal rows). Oracle = plain
+    GROUP BY min/max over the full-replay SQL twin."""
+    from data_ingestor_py_spark.plans.mv import IncrementalAggregate
+
+    table = TargetTable(spark, _flagship_root(spark, sf_dir))
+    mv_args = dict(
+        group_cols=["lang"],
+        min_cols=[("min_value", "value", "double")],
+        max_cols=[("max_value", "value", "double")],
+    )
+    key = ("mvmm", sf_dir)
+    if key not in _REPLAY_CACHE:
+        mroot = tempfile.mkdtemp(prefix="ingestor-mvmm-")
+        os.rmdir(mroot)
+        mv = IncrementalAggregate.create(spark, mroot, table, **mv_args)
+        cur = table._load()["version"]
+        for v in sorted({(cur + 1) // 2, cur}):
+            mv.refresh(upto_version=v)
+        _REPLAY_CACHE[key] = mroot
+    mv = IncrementalAggregate(spark, _REPLAY_CACHE[key], table, **mv_args)
+    return mv.read().select("lang", "n_rows", "min_value", "max_value")
+
+
 def q_repetition_gopher(spark, sf_dir):
     """Gopher-style repetition quality metrics as one shuffle-free
     projection; the oracle recomputes the most-frequent-2-gram count the
@@ -1016,6 +1045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round-4 additions (inside the 50-gate window; see note above)
         "debezium_roundtrip": q_debezium_roundtrip,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
+        "incremental_mv_minmax": q_incremental_mv_minmax,
         "repetition_gopher": q_repetition_gopher,
         "redact_pii": q_redact_pii,
         "mixture_sample": q_mixture_sample,
@@ -1766,6 +1796,14 @@ def oracle_sql() -> dict[str, str]:
             # pandas, breaking hash parity with Spark's BIGINT (same
             # class as the r3 pack_sequences fix).
             f"CAST(sum(event_id) AS BIGINT) AS sum_seq "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
+            f"GROUP BY 1"
+        ),
+        # min/max MV == plain GROUP BY extremes over the replayed state
+        # (min/max are selections, not arithmetic, so double is hash-exact)
+        "incremental_mv_minmax": (
+            f"SELECT event_type AS lang, count(*) AS n_rows, "
+            f"min(value) AS min_value, max(value) AS max_value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"GROUP BY 1"
         ),

@@ -21,13 +21,20 @@ This module implements exactly that on the engine's own primitives:
   committed ``batch_id`` is the SOURCE snapshot version the MV reflects,
   making refresh resumable and exactly-once in the same way replay is.
 
-Supported aggregates: ``COUNT(*)`` plus integer ``SUM`` columns — the
-self-maintainable subset under deletes (MIN/MAX need the base row set on
-retraction, i.e. a full re-aggregation of affected groups; that path is a
-plain ``read().groupBy`` and needs no machinery). Sums are maintained in
-BIGINT so incremental and full recompute agree bit-for-bit — float sums
-would drift by addition order, which is exactly what the oracle gate and
-``test_mv`` forbid.
+Supported aggregates: ``COUNT(*)`` plus integer ``SUM`` columns (the
+self-maintainable subset under deletes), and ``MIN``/``MAX`` columns via
+the standard targeted-recompute rule: inserts fold for free
+(``greatest``/``least`` against the stored extremum), and only groups
+where a RETRACTION's old value ties-or-beats the stored extremum are
+re-aggregated — from the source pinned at the fold's target version,
+filtered to exactly those groups with a broadcast semi-join. A typical
+batch touches no extremal rows, so the common-case refresh cost stays
+O(delta); the worst case (every group's extremum deleted) degrades to one
+filtered source scan, never a full recompute of untouched groups. Sums
+are maintained in BIGINT so incremental and full recompute agree
+bit-for-bit — float sums would drift by addition order, which is exactly
+what the oracle gate and ``test_mv`` forbid. MIN/MAX values are
+selections (never arithmetic), so they are bit-exact in any dtype.
 """
 
 from __future__ import annotations
@@ -50,10 +57,12 @@ class RefreshGapError(RuntimeError):
 
 
 class IncrementalAggregate:
-    """A COUNT/SUM aggregate over a source table, maintained from its
-    changelog. ``group_cols`` may mix source key columns and payload
+    """A COUNT/SUM/MIN/MAX aggregate over a source table, maintained from
+    its changelog. ``group_cols`` may mix source key columns and payload
     columns (payload group keys retract/insert across groups on update).
     ``sum_cols`` is ``[(out_name, source_col), ...]``; sums are BIGINT.
+    ``min_cols``/``max_cols`` are ``[(out_name, source_col, dtype), ...]``
+    (dtype = the stored Spark type, e.g. ``"double"``/``"long"``).
     """
 
     def __init__(
@@ -63,14 +72,33 @@ class IncrementalAggregate:
         source: TargetTable,
         group_cols: list[str],
         sum_cols: list[tuple[str, str]] | None = None,
+        min_cols: list[tuple[str, str, str]] | None = None,
+        max_cols: list[tuple[str, str, str]] | None = None,
         storage: StorageAdapter | None = None,
     ):
         self.spark = spark
         self.source = source
         self.group_cols = list(group_cols)
         self.sum_cols = list(sum_cols or [])
+        self.min_cols = list(min_cols or [])
+        self.max_cols = list(max_cols or [])
         self.table = TargetTable(spark, root, storage=storage)
         self.cp = Checkpoint(spark, root, storage=self.table.io)
+
+    @property
+    def _mm_cols(self) -> list[tuple[str, str, str, bool]]:
+        """(out, src, dtype, is_max) for every MIN/MAX column."""
+        return [(n, c, t, False) for n, c, t in self.min_cols] + [
+            (n, c, t, True) for n, c, t in self.max_cols
+        ]
+
+    @property
+    def _out_cols(self) -> list[str]:
+        return (
+            ["n_rows"]
+            + [n for n, _ in self.sum_cols]
+            + [n for n, _, _, _ in self._mm_cols]
+        )
 
     @classmethod
     def create(
@@ -80,24 +108,29 @@ class IncrementalAggregate:
         source: TargetTable,
         group_cols: list[str],
         sum_cols: list[tuple[str, str]] | None = None,
+        min_cols: list[tuple[str, str, str]] | None = None,
+        max_cols: list[tuple[str, str, str]] | None = None,
         num_buckets: int = 4,
         storage: StorageAdapter | None = None,
     ) -> "IncrementalAggregate":
         cols = [("n_rows", "long")] + [(n, "long") for n, _ in (sum_cols or [])]
+        cols += [(n, t) for n, _, t in (min_cols or [])]
+        cols += [(n, t) for n, _, t in (max_cols or [])]
         TargetTable.create(
             spark, root, key_cols=list(group_cols), columns=cols,
             num_buckets=num_buckets, storage=storage,
         )
-        return cls(spark, root, source, group_cols, sum_cols, storage=storage)
+        return cls(
+            spark, root, source, group_cols, sum_cols, min_cols, max_cols,
+            storage=storage,
+        )
 
     # ---------------- state ----------------
 
     def read(self) -> DataFrame:
         """Current aggregate rows: group cols (as strings — TargetTable key
-        semantics) + ``n_rows`` + the sum columns."""
-        return self.table.read().select(
-            *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
-        )
+        semantics) + ``n_rows`` + the sum and min/max columns."""
+        return self.table.read().select(*self.group_cols, *self._out_cols)
 
     def synced_version(self) -> int:
         """Highest SOURCE snapshot version folded into the aggregate."""
@@ -195,10 +228,13 @@ class IncrementalAggregate:
                 return F.col(c)
             return F.col(f"_old_{c}")
 
+        mm = self._mm_cols
+
         def side(old: bool) -> DataFrame:
             keep = delta.where(
                 F.col("_change_type") != ("I" if old else "D")
             )
+            nil = F.lit(None)
             return keep.select(
                 *[
                     img_col(g, old).cast("string").alias(g)
@@ -209,21 +245,90 @@ class IncrementalAggregate:
                     (F.lit(-1 if old else 1) * img_col(c, old).cast("long")).alias(n)
                     for n, c in self.sum_cols
                 ],
+                # min/max: new images feed the insert-side extremum, old
+                # images the retraction-threat extremum (NULL on the
+                # other side so each aggregate sees only its images)
+                *[
+                    (img_col(c, old).cast(t) if not old else nil.cast(t)).alias(f"_mmnew_{n}")
+                    for n, c, t, _ in mm
+                ],
+                *[
+                    (img_col(c, old).cast(t) if old else nil.cast(t)).alias(f"_mmold_{n}")
+                    for n, c, t, _ in mm
+                ],
             )
 
         contrib = side(old=False).unionByName(side(old=True))
         d = contrib.groupBy(*self.group_cols).agg(
             F.sum("_sign").alias("_d_rows"),
             *[F.sum(n).alias(f"_d_{n}") for n, _ in self.sum_cols],
+            *[
+                (F.max if is_max else F.min)(f"_mmnew_{n}").alias(f"_ins_{n}")
+                for n, _, _, is_max in mm
+            ],
+            *[
+                (F.max if is_max else F.min)(f"_mmold_{n}").alias(f"_ret_{n}")
+                for n, _, _, is_max in mm
+            ],
         )
 
-        cur = self.table.read().select(
-            *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
-        )
+        cur = self.table.read().select(*self.group_cols, *self._out_cols)
         cond = F.lit(True)
         for g in self.group_cols:
             cond = cond & d[g].eqNullSafe(cur[g])
         j = d.join(cur, cond, "left_outer")
+
+        re_agg = persisted = None
+        if mm:
+            # targeted-recompute rule: a group needs re-aggregation iff a
+            # retraction's old value ties-or-beats the stored extremum
+            # (the retracted row MAY have been the last one holding it);
+            # inserts alone can only improve an extremum, never void it
+            need = F.lit(False)
+            for n, _, _, is_max in mm:
+                ret, c = d[f"_ret_{n}"], cur[n]
+                need = need | (
+                    cur["n_rows"].isNotNull()
+                    & ret.isNotNull()
+                    & ((ret >= c) if is_max else (ret <= c))
+                )
+            j = persisted = j.withColumn("_mm_reagg", need).persist()
+            affected = j.where(F.col("_mm_reagg")).select(
+                *[d[g].alias(g) for g in self.group_cols]
+            )
+            if affected.count() > 0:
+                # re-aggregate ONLY the affected groups from the source
+                # pinned at v_to (reading live state would race a
+                # concurrent source commit); broadcast semi-join keeps
+                # the scan filtered to those groups' rows
+                srcv = self.source.read_version(v_to).select(
+                    *[
+                        F.col(g).cast("string").alias(g)
+                        for g in self.group_cols
+                    ],
+                    *[F.col(c).cast(t).alias(f"_src_{n}") for n, c, t, _ in mm],
+                )
+                cond2 = F.lit(True)
+                for g in self.group_cols:
+                    cond2 = cond2 & srcv[g].eqNullSafe(affected[g])
+                hits = srcv.join(F.broadcast(affected), cond2, "left_semi")
+                re_agg = hits.groupBy(*self.group_cols).agg(
+                    *[
+                        (F.max if is_max else F.min)(f"_src_{n}").alias(f"_re_{n}")
+                        for n, _, _, is_max in mm
+                    ]
+                )
+                cond3 = F.lit(True)
+                for g in self.group_cols:
+                    cond3 = cond3 & d[g].eqNullSafe(re_agg[g])
+                j = j.join(re_agg, cond3, "left_outer")
+
+        def mm_val(n: str, is_max: bool):
+            fast = (F.greatest if is_max else F.least)(cur[n], d[f"_ins_{n}"])
+            if re_agg is None:
+                return fast
+            return F.when(F.col("_mm_reagg"), re_agg[f"_re_{n}"]).otherwise(fast)
+
         new_n = F.coalesce(cur["n_rows"], F.lit(0)) + d["_d_rows"]
         upserts = j.select(
             *[d[g].alias(g) for g in self.group_cols],
@@ -232,21 +337,26 @@ class IncrementalAggregate:
                 (F.coalesce(cur[n], F.lit(0)) + d[f"_d_{n}"]).alias(n)
                 for n, _ in self.sum_cols
             ],
+            *[mm_val(n, is_max).alias(n) for n, _, _, is_max in mm],
             F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
             F.lit(v_to).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
         )
-        st = self.table.merge_apply(
-            upserts,
-            stats="light",
-            # committed atomically with the fold: makes the fold/checkpoint
-            # gap crash-recoverable (see _roll_forward_pending)
-            app_meta={
-                "consumer": "mv",
-                "mv_synced_from": v_from,
-                "mv_synced_upto": v_to,
-            },
-        )
+        try:
+            st = self.table.merge_apply(
+                upserts,
+                stats="light",
+                # committed atomically with the fold: makes the fold/
+                # checkpoint gap crash-recoverable (_roll_forward_pending)
+                app_meta={
+                    "consumer": "mv",
+                    "mv_synced_from": v_from,
+                    "mv_synced_upto": v_to,
+                },
+            )
+        finally:
+            if persisted is not None:
+                persisted.unpersist()
         t1 = time.time()
         rec = BatchRecord(
             batch_id=v_to,
@@ -279,9 +389,7 @@ class IncrementalAggregate:
         # v_to+1's numbers while recording synced=v_to, and the next
         # refresh would fold the (v_to, v_to+1] delta a second time
         want = self.recompute(version=v_to)
-        cur = self.table.read().select(
-            *self.group_cols, "n_rows", *[n for n, _ in self.sum_cols]
-        )
+        cur = self.table.read().select(*self.group_cols, *self._out_cols)
         cond = F.lit(True)
         for g in self.group_cols:
             cond = cond & want[g].eqNullSafe(cur[g])
@@ -294,6 +402,9 @@ class IncrementalAggregate:
                 F.coalesce(want[n], F.lit(0)).alias(n)
                 for n, _ in self.sum_cols
             ],
+            # min/max: the recomputed value verbatim (NULL on the deleted
+            # side — the row becomes a tombstone anyway)
+            *[want[n].alias(n) for n, _, _, _ in self._mm_cols],
             F.when(present, F.lit("U")).otherwise(F.lit("D")).alias("_op"),
             F.lit(v_to).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
@@ -347,5 +458,9 @@ class IncrementalAggregate:
             *[
                 F.sum(F.col(c).cast("long")).alias(n)
                 for n, c in self.sum_cols
+            ],
+            *[
+                (F.max if is_max else F.min)(F.col(c).cast(t)).alias(n)
+                for n, c, t, is_max in self._mm_cols
             ],
         )
