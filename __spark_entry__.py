@@ -857,6 +857,82 @@ def q_debezium_roundtrip(spark, sf_dir):
     )
 
 
+def q_debezium_schema_evolution(spark, sf_dir):
+    """Wire-driven schema evolution (sources/debezium.py
+    replay_debezium_with_ddl): the events table serialized as a MIXED
+    Debezium stream — envelopes WITHOUT a lang field up to the midpoint
+    LSN, then a schema-change message (tableChanges block adding lang),
+    then envelopes WITH lang — replayed flush-then-switch into a fresh
+    table whose schema evolves mid-stream from the wire format (reference
+    parity: msgbroker/sql_consumer.py:61-71 flush-then-swap). Oracle =
+    the final per-key state with lang visible only for keys whose last
+    event is after the change (pre-change rows are metadata-only
+    NULL-filled)."""
+    import json as _json
+
+    from data_ingestor_py_spark.sources.debezium import (
+        replay_debezium_with_ddl,
+        to_debezium_json,
+    )
+
+    key = ("dbz-ddl", sf_dir)
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events")
+        mid = ev.agg(F.max("event_id")).collect()[0][0] // 2
+        is_del = F.col("event_type") == "error"
+        op = (
+            F.when(is_del, F.lit("d"))
+            .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("c"))
+            .otherwise(F.lit("u"))
+        )
+        repo = F.col("user_id").cast("string").alias("repo")
+        path = (
+            F.regexp_extract("props", K_RE, 1).cast("long").cast("string").alias("path")
+        )
+        ts_ms = F.unix_millis(F.col("ts").cast("timestamp"))
+        old_env = ev.where(F.col("event_id") <= mid).select(
+            to_debezium_json(
+                F.struct(repo, path, F.col("value")), op, ts_ms, F.col("event_id")
+            ).alias("value")
+        )
+        new_env = ev.where(F.col("event_id") > mid).select(
+            to_debezium_json(
+                F.struct(repo, path, F.col("value"), F.col("event_type").alias("lang")),
+                op, ts_ms, F.col("event_id"),
+            ).alias("value")
+        )
+        ddl_line = _json.dumps({
+            "ts_ms": 0, "databaseName": "db",
+            "ddl": "ALTER TABLE events ADD COLUMN lang VARCHAR(32)",
+            "source": {"lsn": mid},
+            "tableChanges": [{
+                "type": "ALTER", "id": '"db"."events"',
+                "table": {
+                    "primaryKeyColumnNames": ["repo", "path"],
+                    "columns": [
+                        {"name": "repo", "typeName": "VARCHAR(64)", "position": 1, "optional": False},
+                        {"name": "path", "typeName": "VARCHAR(64)", "position": 2, "optional": False},
+                        {"name": "value", "typeName": "DOUBLE", "position": 3, "optional": True},
+                        {"name": "lang", "typeName": "VARCHAR(32)", "position": 4, "optional": True},
+                    ],
+                },
+            }],
+        })
+        lines = old_env.unionByName(new_env).unionByName(
+            spark.createDataFrame([(ddl_line,)], "value string")
+        )
+        root = tempfile.mkdtemp(prefix="ingestor-dbzddl-")
+        os.rmdir(root)
+        t = TargetTable.create(
+            spark, root, key_cols=["repo", "path"],
+            columns=[("value", "double")], num_buckets=16,
+        )
+        replay_debezium_with_ddl(t, lines)
+        _REPLAY_CACHE[key] = root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return t.read().select("repo", "path", "value", "lang")
+
+
 def q_incremental_mv_lang_counts(spark, sf_dir):
     """Delta-maintained materialized aggregate (plans/mv.py) over the
     flagship table: folded snapshot-by-snapshot (each fold reads only the
@@ -1044,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_centroids": q_kmeans_centroids,
         # round-4 additions (inside the 50-gate window; see note above)
         "debezium_roundtrip": q_debezium_roundtrip,
+        "debezium_schema_evolution": q_debezium_schema_evolution,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
         "repetition_gopher": q_repetition_gopher,
@@ -1798,6 +1875,16 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(sum(event_id) AS BIGINT) AS sum_seq "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"GROUP BY 1"
+        ),
+        # wire-driven schema evolution == final per-key state where the
+        # added column is visible only for keys last touched AFTER the
+        # schema-change LSN (pre-change rows are metadata-only NULL-fill)
+        "debezium_schema_evolution": (
+            f"WITH m AS (SELECT max(event_id) // 2 AS mid FROM events) "
+            f"SELECT CAST(user_id AS VARCHAR) AS repo, "
+            f"CAST(k AS VARCHAR) AS path, value, "
+            f"CASE WHEN event_id > (SELECT mid FROM m) THEN event_type END AS lang "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
         ),
         # min/max MV == plain GROUP BY extremes over the replayed state
         # (min/max are selections, not arithmetic, so double is hash-exact)

@@ -246,3 +246,239 @@ def to_debezium_json(
             ).alias("source"),
         )
     )
+
+
+# ------------------------------------------------------------------
+# Schema-change events (Debezium schema-history wire format) -> evolve()
+#
+# Real Debezium streams interleave schema-change messages (emitted to the
+# schema-change topic, and inline when `include.schema.changes` is on):
+# a JSON object with a `ddl` string and a structured `tableChanges` block
+# whose `table.columns` list IS the post-change schema. The engine drives
+# TargetTable.evolve() from the STRUCTURED block (never by parsing SQL
+# DDL text — connector dialects differ; the tableChanges block is the
+# format's own normalized form), mirroring the reference's
+# flush-then-switch mapping swap (msgbroker/sql_consumer.py:61-71): all
+# rows before the change merge under the old schema, the table evolves,
+# and rows after merge under the new one.
+
+
+# SQL typeName (as Debezium's relational history records it) -> the
+# engine's spec vocabulary. Length suffixes like VARCHAR(255) are
+# normalized away before lookup.
+_TYPENAME_TO_SPEC = {
+    "VARCHAR": "string", "CHAR": "string", "TEXT": "string",
+    "STRING": "string", "NVARCHAR": "string", "CLOB": "string",
+    "TINYINT": "int", "SMALLINT": "int", "INT": "int", "INTEGER": "int",
+    "BIGINT": "long",
+    "FLOAT": "double", "REAL": "double", "DOUBLE": "double",
+    "DOUBLE PRECISION": "double",
+    "BOOLEAN": "boolean", "BOOL": "boolean",
+    "TIMESTAMP": "timestamp", "DATETIME": "timestamp",
+}
+
+
+def _spec_type(type_name: str) -> str:
+    base = type_name.split("(")[0].strip().upper()
+    if base not in _TYPENAME_TO_SPEC:
+        raise TypeError(
+            f"schema-change column type {type_name!r} has no mapping into "
+            f"the engine spec vocabulary; supported: {sorted(_TYPENAME_TO_SPEC)}"
+        )
+    return _TYPENAME_TO_SPEC[base]
+
+
+def schema_change_schema() -> T.StructType:
+    """``from_json`` schema for the subset of the Debezium schema-change
+    message the engine consumes."""
+    column = T.StructType(
+        [
+            T.StructField("name", T.StringType(), True),
+            T.StructField("typeName", T.StringType(), True),
+            T.StructField("position", T.IntegerType(), True),
+            T.StructField("optional", T.BooleanType(), True),
+        ]
+    )
+    table = T.StructType(
+        [
+            T.StructField(
+                "primaryKeyColumnNames", T.ArrayType(T.StringType()), True
+            ),
+            T.StructField("columns", T.ArrayType(column), True),
+        ]
+    )
+    change = T.StructType(
+        [
+            T.StructField("type", T.StringType(), True),
+            T.StructField("id", T.StringType(), True),
+            T.StructField("table", table, True),
+        ]
+    )
+    return T.StructType(
+        [
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField("databaseName", T.StringType(), True),
+            T.StructField("ddl", T.StringType(), True),
+            T.StructField("tableChanges", T.ArrayType(change), True),
+            T.StructField(
+                "source",
+                T.StructType([T.StructField("lsn", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+
+
+def is_schema_change(value_col: str = "value") -> Column:
+    """Predicate: the line is a schema-change message (has a tableChanges
+    block or a ddl string — row envelopes have neither)."""
+    env = F.from_json(F.col(value_col), schema_change_schema())
+    return env["tableChanges"].isNotNull() | env["ddl"].isNotNull()
+
+
+def parse_schema_changes(df: DataFrame, value_col: str = "value") -> DataFrame:
+    """Extract schema-change events from a (possibly mixed) line stream:
+    one output row per change, with ``_seq`` (source.lsn, else ts_ms — the
+    stream position at which the switch takes effect), the DDL text (audit
+    only), and the post-change column list. Catalyst-only."""
+    env = F.from_json(F.col(value_col), schema_change_schema())
+    chg = env["tableChanges"][0]
+    return (
+        df.where(env["tableChanges"].isNotNull())
+        .select(
+            F.coalesce(env["source"]["lsn"], env["ts_ms"]).alias("_seq"),
+            env["ts_ms"].alias("ts_ms"),
+            env["ddl"].alias("ddl"),
+            chg["type"].alias("change_type"),
+            chg["id"].alias("table_id"),
+            chg["table"]["primaryKeyColumnNames"].alias("key_cols"),
+            chg["table"]["columns"].alias("columns"),
+        )
+    )
+
+
+def table_change_to_evolution(
+    table, wire_columns: list, key_cols: list[str]
+) -> dict:
+    """Diff a schema-change event's post-change column list against the
+    table's CURRENT schema -> the evolve() call that reconciles them:
+
+    - wire column absent from the table        -> add (NULL-filled)
+    - wire column present with a wider/other   -> retype (metadata-only;
+      type                                        old files cast on read)
+    - table column absent from the wire        -> kept (Iceberg-style:
+      a source-side DROP never destroys lake history; new rows simply
+      stop populating it)
+    - a PRIMARY KEY column missing from wire   -> typed error (key
+      evolution would re-identify every row; not a metadata operation)
+
+    Renames are NOT inferable from the wire format (Debezium records a
+    rename as drop+add, the column's identity is its name) — a rename
+    therefore lands as an add, and reconciling it into a true rename
+    (field-id reuse) stays a manual ``evolve(rename=...)`` call.
+    """
+    m = table._load()
+    payload = {f["name"]: f["type"] for f in table.schema_fields(m)}
+    keys = set(m["key_cols"])
+    wire = {}
+    for c in wire_columns:
+        wire[c["name"]] = _spec_type(c["typeName"])
+    missing_keys = keys - set(wire)
+    if missing_keys:
+        raise ValueError(
+            f"schema change drops primary-key column(s) {sorted(missing_keys)}; "
+            "key evolution is not supported (it would re-identify every row)"
+        )
+    add = [
+        (n, t) for n, t in wire.items() if n not in payload and n not in keys
+    ]
+    retype = {
+        n: t
+        for n, t in wire.items()
+        if n in payload and payload[n] != t
+    }
+    return {"add": add, "retype": retype}
+
+
+def replay_debezium_with_ddl(
+    table,
+    lines: DataFrame,
+    value_col: str = "value",
+    ts_ms_fallback: bool = True,
+) -> list[tuple[str, str]]:
+    """Replay a MIXED Debezium stream (row envelopes + schema-change
+    messages) into ``table``, driving schema evolution from the wire
+    format. Flush-then-switch, exactly like the reference's mid-stream
+    mapping swap (msgbroker/sql_consumer.py:61-71): the stream is cut
+    into epochs at each schema-change position; each epoch's rows are
+    parsed under the schema in force DURING that epoch and merged, then
+    the change is applied via ``TargetTable.evolve`` and the next epoch
+    continues under the new schema.
+
+    Epoch filtering needs only the envelope-level sequence (source.lsn /
+    ts_ms — schema-independent), so each row is fully parsed exactly
+    once, with its own epoch's schema. Schema-change events are
+    metadata-scale (a handful per stream) and are collected driver-side;
+    the row path stays Catalyst-only. Returns the final row_fields, so a
+    caller can keep parsing a continuation of the stream."""
+    changes = sorted(
+        parse_schema_changes(lines, value_col).collect(),
+        key=lambda r: r["_seq"],
+    )
+    # current schema from the table itself — resuming mid-stream after a
+    # crash re-derives the right starting point (earlier epochs' evolves
+    # are already in the manifest, and merge idempotence absorbs re-sent
+    # row batches)
+    def current_fields() -> list[tuple[str, str]]:
+        m = table._load()
+        return [(k, "string") for k in m["key_cols"]] + [
+            (f["name"], f["type"]) for f in table.schema_fields(m)
+        ]
+
+    # envelope-level seq, schema-independent (no row images touched)
+    env_min = T.StructType(
+        [
+            T.StructField("op", T.StringType(), True),
+            T.StructField("ts_ms", T.LongType(), True),
+            T.StructField(
+                "source",
+                T.StructType([T.StructField("lsn", T.LongType(), True)]),
+                True,
+            ),
+        ]
+    )
+    env = F.from_json(F.col(value_col), env_min)
+    seq = (
+        F.coalesce(env["source"]["lsn"], env["ts_ms"])
+        if ts_ms_fallback
+        else env["source"]["lsn"]
+    )
+    row_lines = lines.where(
+        env["op"].isNotNull() & ~is_schema_change(value_col)
+    )
+
+    bounds = [r["_seq"] for r in changes]
+    for i, change in enumerate([*changes, None]):
+        lo = bounds[i - 1] if i > 0 else None
+        hi = change["_seq"] if change is not None else None
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (seq > F.lit(lo))
+        if hi is not None:
+            cond = cond & (seq <= F.lit(hi))
+        fields = current_fields()
+        epoch = parse_debezium(
+            row_lines.where(cond), fields, value_col, ts_ms_fallback
+        )
+        batch = epoch.select(
+            *[c for c, _ in fields], "_seq", "_op", "_ts"
+        )
+        if batch.limit(1).count() > 0:
+            table.merge_apply(batch)
+        if change is not None:
+            spec = table_change_to_evolution(
+                table, change["columns"], change["key_cols"]
+            )
+            if spec["add"] or spec["retype"]:
+                table.evolve(**spec)
+    return current_fields()
