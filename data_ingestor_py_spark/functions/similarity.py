@@ -103,23 +103,17 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def minhash_lsh_candidates(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
-    bands: int = 4, rows_per_band: int = 2,
+def _lsh_bands(
+    df: DataFrame, text_col: str, id_col: str, bands: int, rows_per_band: int
 ) -> DataFrame:
-    """LSH banding: docs sharing any band of the minhash signature become a
-    candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
-
-    Scale shape: explode to (band_id, band_hash, id), self-join on the
-    band key — shuffle is O(n * bands), never O(n^2).
-    """
+    """(id, band, bh) exploded band keys for the minhash signature."""
     k = bands * rows_per_band
     sig = minhash_signature(text_col, k)
     with_sig = df.select(F.col(id_col).alias("id"), sig.alias("sig"))
     # docs with no shingles have NULL signatures — excluded (matches the
     # SQL oracle, where NULL band keys never join)
     with_sig = with_sig.where(F.element_at("sig", 1).isNotNull())
-    band = with_sig.select(
+    return with_sig.select(
         "id",
         F.explode(
             F.array(*[
@@ -132,15 +126,71 @@ def minhash_lsh_candidates(
             ])
         ).alias("bk"),
     ).select("id", "bk.band", "bk.bh")
+
+
+def lsh_band_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2, max_band_size: int = 10_000,
+) -> DataFrame:
+    """Monitoring companion to :func:`minhash_lsh_candidates`: per
+    (band, bh) member counts with an ``is_hot`` flag at ``max_band_size``
+    — the oversize-band stat an operator watches to see how much of the
+    corpus is mass-duplicated boilerplate (the known LSH failure mode at
+    crawl scale)."""
+    b = _lsh_bands(df, text_col, id_col, bands, rows_per_band)
+    return b.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("n")).select(
+        "band", "bh", "n", (F.col("n") > max_band_size).alias("is_hot")
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    bands: int = 4, rows_per_band: int = 2,
+    max_band_size: int | None = 10_000,
+) -> DataFrame:
+    """LSH banding: docs sharing any band of the minhash signature become a
+    candidate pair. Returns (id_a, id_b) with id_a < id_b, distinct.
+
+    Scale shape: explode to (band_id, band_hash, id), self-join on the
+    band key — shuffle is O(n * bands), never O(n^2) ... EXCEPT inside a
+    single degenerate band group: a web-crawl corpus with millions of
+    byte-identical boilerplate docs puts them all in one (band, bh) group
+    and the self-join goes quadratic within it. ``max_band_size`` guards
+    that: groups larger than the cap emit STAR edges (every member paired
+    with the group's min id — O(s) edges) instead of the full clique
+    (O(s^2)). Members of one band group are mutual candidates by
+    construction, so the star preserves connected components exactly
+    (near-dup clustering downstream is unchanged); only the redundant
+    within-group pair enumeration is dropped. Hot groups are near-certain
+    exact duplicates — route the corpus through :func:`exact_dedup` first
+    to shrink them, and watch :func:`lsh_band_stats` for how often the
+    guard engages. ``max_band_size=None`` disables the guard (the
+    all-pairs contract, e.g. for oracle comparison on bounded corpora).
+    """
+    band = _lsh_bands(df, text_col, id_col, bands, rows_per_band)
+    star = None
+    if max_band_size is not None:
+        sizes = band.groupBy("band", "bh").agg(F.count(F.lit(1)).alias("_n"))
+        hot = sizes.where(F.col("_n") > max_band_size).select("band", "bh")
+        # hot band KEYS are few (<= n/cap distinct groups) — broadcast
+        hot_members = band.join(F.broadcast(hot), ["band", "bh"])
+        hub = hot_members.groupBy("band", "bh").agg(F.min("id").alias("hub"))
+        star = (
+            hot_members.join(F.broadcast(hub), ["band", "bh"])
+            .where(F.col("id") != F.col("hub"))
+            .select(F.col("hub").alias("id_a"), F.col("id").alias("id_b"))
+        )
+        band = band.join(F.broadcast(hot), ["band", "bh"], "left_anti")
     left = band.alias("l")
     right = band.alias("r")
     pairs = (
         left.join(right, ["band", "bh"])
         .where(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .distinct()
     )
-    return pairs
+    if star is not None:
+        pairs = pairs.unionByName(star)
+    return pairs.distinct()
 
 
 def minhash_near_duplicates(

