@@ -1061,6 +1061,70 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_incremental_join_enrich(spark, sf_dir):
+    """Delta-maintained JOIN view (plans/join_mv.py): the flagship fact
+    table left-join-enriched with a CDC-replayed customer dimension,
+    folded in two genuine increments — fold 1 at (fact mid, dim v1), fold
+    2 at (fact head, dim v2), where dim v2 renames every third customer
+    and DELETES every fifth (so fold 2 must re-enrich already-joined rows
+    through the changed-key path, including nulling deleted dims). Oracle
+    = one SQL LEFT JOIN of both final states."""
+    from data_ingestor_py_spark.plans.join_mv import IncrementalJoin
+
+    fact = TargetTable(spark, _flagship_root(spark, sf_dir))
+    join_args = dict(
+        fk_cols=["repo"],
+        fact_cols=[("lang", "lang", "string"), ("value", "value", "double")],
+        dim_cols=[("c_name", "c_name", "string"),
+                  ("c_nationkey", "c_nationkey", "long")],
+    )
+    key = ("joinmv", sf_dir)
+    if key not in _REPLAY_CACHE:
+        droot = tempfile.mkdtemp(prefix="ingestor-dim-")
+        os.rmdir(droot)
+        dim = TargetTable.create(
+            spark, droot, key_cols=["ck"],
+            columns=[("c_name", "string"), ("c_nationkey", "long")],
+            num_buckets=4,
+        )
+        cust = _t(spark, sf_dir, "customer")
+        ck = F.col("c_custkey")
+        b1 = cust.select(
+            ck.cast("string").alias("ck"),
+            F.concat(F.lit("v1:"), F.col("c_name")).alias("c_name"),
+            F.col("c_nationkey").cast("long").alias("c_nationkey"),
+            (ck * 2 + 1).cast("long").alias("_seq"),
+            F.lit("U").alias("_op"),
+            F.current_timestamp().alias("_ts"),
+        )
+        b2 = cust.where((ck % 5 == 0) | (ck % 3 == 0)).select(
+            ck.cast("string").alias("ck"),
+            F.when(ck % 5 == 0, F.lit(None)).otherwise(F.col("c_name")).alias("c_name"),
+            F.when(ck % 5 == 0, F.lit(None)).otherwise(
+                F.col("c_nationkey").cast("long")
+            ).alias("c_nationkey"),
+            (ck * 2 + 2).cast("long").alias("_seq"),
+            F.when(ck % 5 == 0, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+            F.current_timestamp().alias("_ts"),
+        )
+        dim.merge_apply(b1)
+        dim.merge_apply(b2)
+        vroot = tempfile.mkdtemp(prefix="ingestor-joinmv-")
+        os.rmdir(vroot)
+        v = IncrementalJoin.create(spark, vroot, fact, dim, **join_args)
+        cur = fact._load()["version"]
+        v.refresh(upto_fact=(cur + 1) // 2, upto_dim=1)
+        v.refresh(upto_fact=cur, upto_dim=2)
+        _REPLAY_CACHE[key] = (vroot, droot)
+    vroot, droot = _REPLAY_CACHE[key]
+    v = IncrementalJoin(
+        spark, vroot, fact, TargetTable(spark, droot), **join_args
+    )
+    return v.read().select(
+        "repo", "path", "lang", "value", "c_name", "c_nationkey"
+    )
+
+
 def q_mixture_sample(spark, sf_dir):
     """Temperature-weighted (alpha=0.5) domain mixture sample, target 200
     docs: all-integer keep rule (exact isqrt weights), so the oracle
@@ -1091,7 +1155,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "broadcast_dict_join": q_broadcast_dict_join,
         "agg_pricing_summary": q_agg_pricing_summary,
         "groupby_argmax_mode": q_groupby_argmax_mode,
-        "sessionize_events": q_sessionize_events,
         "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -1117,6 +1180,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_schema_evolution": q_debezium_schema_evolution,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
+        "incremental_join_enrich": q_incremental_join_enrich,
         "scd2_history": q_scd2_history,
         # no driver row in round 4 (rotated back into the window):
         "topk_orders_by_value": q_topk_orders_by_value,
@@ -1134,6 +1198,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "sessionize_events": q_sessionize_events,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize": q_multimodal_resize,
         "multimodal_frame_sample": q_multimodal_frame_sample,
@@ -1897,6 +1962,20 @@ def oracle_sql() -> dict[str, str]:
             f"min(value) AS min_value, max(value) AS max_value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"GROUP BY 1"
+        ),
+        # delta-maintained join view == one LEFT JOIN of both FINAL
+        # states: dim final = v1-prefixed names, every 3rd renamed back,
+        # every 5th deleted (the q builds exactly that CDC sequence)
+        "incremental_join_enrich": (
+            f"WITH dim AS (SELECT c_custkey, "
+            f"CASE WHEN c_custkey % 3 = 0 THEN c_name "
+            f"ELSE 'v1:' || c_name END AS c_name, c_nationkey "
+            f"FROM customer WHERE c_custkey % 5 <> 0) "
+            f"SELECT CAST(f.user_id AS VARCHAR) AS repo, "
+            f"CAST(f.k AS VARCHAR) AS path, f.event_type AS lang, f.value, "
+            f"d.c_name AS c_name, CAST(d.c_nationkey AS BIGINT) AS c_nationkey "
+            f"FROM ({last}) f LEFT JOIN dim d ON f.user_id = d.c_custkey "
+            f"WHERE f.rn = 1 AND f.event_type <> 'error'"
         ),
         "scd2_history": (
             f"WITH w AS (SELECT *, lead(event_id) OVER "
