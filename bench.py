@@ -58,6 +58,9 @@ HEADLINE = [
     "mixture_sample",  # added r4: temperature-weighted domain mixing
     "bigram_lm_fluency",  # added r4: corpus bigram-LM scoring
     "scd2_history",  # added r4: incremental SCD2 history maintenance
+    "incremental_mv_minmax",  # added r5: targeted-recompute MIN/MAX MV
+    "debezium_schema_evolution",  # added r5: wire-driven DDL -> evolve()
+    "incremental_join_enrich",  # added r5: delta-maintained join view
 ]
 
 

@@ -399,6 +399,70 @@ class TargetTable:
         m = self._get_manifest(self._version_path(version))
         return self._state_df(m).where(F.col("_op") != "D")
 
+    def lookup(self, probes: list[dict[str, str | None]]) -> DataFrame:
+        """Serving-path point lookup: visible rows matching any probe,
+        reading ONLY the buckets the probes hash to.
+
+        Every probe must bind every bucket column (the partition spec —
+        that is what makes pruning possible) and all probes must bind the
+        same column set; extra bound columns must be key columns and
+        narrow the match. Values compare as strings (key semantics);
+        ``None`` matches a stored NULL key.
+
+        Scale shape: k probes read at most k bucket dirs out of B — at
+        100 TB this is the O(table/B · k) point-read path a serving layer
+        needs, vs read().where(...) scanning every bucket. Bucket ids come
+        from one probe-sized Spark job (the same ``xxhash64`` expression
+        the writer uses — never reimplemented driver-side, so probe and
+        data can't drift). The equality filter is pushed into the pruned
+        parquet scan for ≤64 probes; larger probe sets switch to a
+        broadcast semi-join (an IN-list that size stops being pushable
+        anyway)."""
+        if not probes:
+            raise ValueError("lookup needs at least one probe")
+        m = self._load()
+        bucket_cols, B = m["bucket_cols"], m["num_buckets"]
+        cols = sorted(probes[0])
+        if any(sorted(p) != cols for p in probes[1:]):
+            raise ValueError("all probes must bind the same column set")
+        missing = [c for c in bucket_cols if c not in cols]
+        if missing:
+            raise ValueError(
+                f"probes must bind every bucket column; missing {missing}"
+            )
+        bad = [c for c in cols if c not in m["key_cols"]]
+        if bad:
+            raise ValueError(f"probe columns must be key columns: {bad}")
+        norm = [
+            {c: (None if p[c] is None else str(p[c])) for c in cols}
+            for p in probes
+        ]
+        probe_df = self.spark.createDataFrame(
+            [tuple(p[c] for c in cols) for p in norm],
+            ", ".join(f"{c} string" for c in cols),
+        )
+        bkts = sorted(
+            r["b"]
+            for r in probe_df.select(
+                _bucket_expr(bucket_cols, B).alias("b")
+            ).distinct().collect()
+        )
+        df = self._state_df(m, bkts).where(F.col("_op") != "D")
+        if len(norm) <= 64:
+            conds = []
+            for p in norm:
+                c = F.lit(True)
+                for k, v in p.items():
+                    c = c & (
+                        F.col(k).isNull() if v is None else (F.col(k) == F.lit(v))
+                    )
+                conds.append(c)
+            cond = conds[0]
+            for x in conds[1:]:
+                cond = cond | x
+            return df.where(cond)
+        return df.join(F.broadcast(probe_df.distinct()), cols, "left_semi")
+
     # ---------------- merge-apply (M1/M2/M3/M9) ----------------
 
     def merge_apply(
