@@ -46,7 +46,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
-    roots = {n: os.path.join(base, f"incdemo-{n}") for n in ("src", "mv", "scd")}
+    roots = {
+        n: os.path.join(base, f"incdemo-{n}")
+        for n in ("src", "mv", "scd", "dim", "jv")
+    }
     for r in roots.values():
         shutil.rmtree(r, ignore_errors=True)
 
@@ -67,7 +70,29 @@ def main() -> None:
         spark, total, n_repos=500, paths_per_repo=200, seed=7
     ).select("repo", "path", "lang", "content", "_seq", "_op", "_ts")
 
-    out = {"merge_s": [], "mv_s": [], "scd2_s": [], "history_rows": 0}
+    # join view: fact enriched with a repo-keyed dim; ~1/50th of the dim
+    # churns per batch, so the changed-key path re-enriches only those
+    # repos' rows — per-batch cost must stay flat as the fact grows
+    from data_ingestor_py_spark.plans.join_mv import IncrementalJoin
+
+    dim = TargetTable.create(
+        spark, roots["dim"], key_cols=["repo"],
+        columns=[("region", "string")], num_buckets=8,
+    )
+    repos = ev.select("repo").distinct()
+    dim.merge_apply(repos.select(
+        "repo", F.concat(F.lit("region-0:"), F.col("repo")).alias("region"),
+        F.lit(1).cast("long").alias("_seq"), F.lit("U").alias("_op"),
+        F.current_timestamp().alias("_ts"),
+    ))
+    jv = IncrementalJoin.create(
+        spark, roots["jv"], src, dim, fk_cols=["repo"],
+        fact_cols=[("lang", "lang", "string")],
+        dim_cols=[("region", "region", "string")],
+        num_buckets=32,
+    )
+
+    out = {"merge_s": [], "mv_s": [], "scd2_s": [], "join_s": [], "history_rows": 0}
     for i in range(k):
         batch = ev.where(
             (F.col("_seq") >= i * n) & (F.col("_seq") < (i + 1) * n)
@@ -79,11 +104,24 @@ def main() -> None:
         t2 = time.time()
         scd2_apply(hist, batch, ["repo", "path"], ["lang", "content"])
         t3 = time.time()
+        # dim churn: ~1/50th of repos get a new region label this batch
+        dim.merge_apply(repos.where(
+            F.pmod(F.xxhash64("repo"), F.lit(50)) == i % 50
+        ).select(
+            "repo",
+            F.concat(F.lit(f"region-{i+1}:"), F.col("repo")).alias("region"),
+            F.lit(i + 2).cast("long").alias("_seq"), F.lit("U").alias("_op"),
+            F.current_timestamp().alias("_ts"),
+        ))
+        jv.refresh()
+        t4 = time.time()
         out["merge_s"].append(round(t1 - t0, 2))
         out["mv_s"].append(round(t2 - t1, 2))
         out["scd2_s"].append(round(t3 - t2, 2))
+        out["join_s"].append(round(t4 - t3, 2))
         print(
-            f"batch {i}: merge {t1-t0:.1f}s  mv {t2-t1:.1f}s  scd2 {t3-t2:.1f}s",
+            f"batch {i}: merge {t1-t0:.1f}s  mv {t2-t1:.1f}s  "
+            f"scd2 {t3-t2:.1f}s  join {t4-t3:.1f}s",
             file=sys.stderr,
         )
     out["history_rows"] = read_history(hist).count()
@@ -93,6 +131,11 @@ def main() -> None:
     inc = sorted(map(tuple, mv.read().collect()), key=lambda t: [(x is None, x) for x in t])
     ful = sorted(map(tuple, mv.recompute().collect()), key=lambda t: [(x is None, x) for x in t])
     out["mv_exact"] = inc == ful
+    # join-view correctness: incremental folds == one full re-join
+    out["join_exact"] = (
+        jv.read().exceptAll(jv.recompute()).isEmpty()
+        and jv.recompute().exceptAll(jv.read()).isEmpty()
+    )
     print(json.dumps(out))
     for r in roots.values():
         shutil.rmtree(r, ignore_errors=True)
