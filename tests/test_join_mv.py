@@ -178,3 +178,60 @@ def test_reseed_bootstrap_and_equivalence(spark):
     dim.merge_apply(_batch(spark, DIM_DDL, [("b", "B", 2, "U")]))
     assert v.refresh() is not None
     assert _check(v) == [("2", "b", 2, "B")]
+
+
+def test_join_view_over_streamed_fact(spark, tmp_path):
+    """Per-epoch join-view maintenance over a live stream (the on_epoch_end
+    hook, same contract as the MV): every intermediate snapshot enriches
+    exactly, while the dim churns between epochs."""
+    from data_ingestor_py_spark.sources import change_events
+    from data_ingestor_py_spark.streaming.stream_replay import stream_replay
+
+    ev = change_events(spark, 1500, n_repos=8, paths_per_repo=8, seed=63)
+    src = str(tmp_path / "events")
+    ev.repartition(2).write.parquet(src)
+    fact = TargetTable.create(
+        spark, str(tmp_path / "t"), key_cols=["repo", "path"],
+        columns=[("lang", "string"), ("content", "string")], num_buckets=4,
+    )
+    dim = TargetTable.create(
+        spark, str(tmp_path / "d"), key_cols=["repo"],
+        columns=[("region", "string")], num_buckets=2,
+    )
+    dim.merge_apply(ev.select("repo").distinct().select(
+        "repo", F.concat(F.lit("r0:"), F.col("repo")).alias("region"),
+        F.lit(1).cast("long").alias("_seq"), F.lit("U").alias("_op"),
+        F.current_timestamp().alias("_ts"),
+    ))
+    v = IncrementalJoin.create(
+        spark, str(tmp_path / "v"), fact, dim, fk_cols=["repo"],
+        fact_cols=[("lang", "lang", "string")],
+        dim_cols=[("region", "region", "string")],
+    )
+    schema = (
+        "event_id long, repo string, path string, commit string, _seq long, "
+        "_op string, _ts timestamp, lang string, content string, _schema_version int"
+    )
+    prep = lambda df, _e=0: df.select(  # noqa: E731
+        "repo", "path", "lang", "content", "_seq", "_op", "_ts")
+    checks = []
+
+    def on_end(epoch, table, rec):
+        # churn one dim key per epoch, then refresh: exercises BOTH delta
+        # paths at every epoch
+        dim.merge_apply(dim.read().limit(1).select(
+            "repo", F.concat(F.lit(f"r{epoch+1}:"), F.col("repo")).alias("region"),
+            F.lit(epoch + 2).cast("long").alias("_seq"), F.lit("U").alias("_op"),
+            F.current_timestamp().alias("_ts"),
+        ))
+        v.refresh()
+        got = sorted(tuple(r) for r in v.read().collect())
+        want = sorted(tuple(r) for r in v.recompute().collect())
+        checks.append(got == want)
+
+    q = stream_replay(spark, src, schema, fact, prepare=prep,
+                      checkpoint_dir=str(tmp_path / "cp"),
+                      max_files_per_trigger=1, on_epoch_end=on_end)
+    q.awaitTermination(120)
+    assert len(checks) >= 2 and all(checks)
+    assert v.synced_versions()[0] == fact._load()["version"]
