@@ -918,9 +918,15 @@ def q_debezium_schema_evolution(spark, sf_dir):
                 },
             }],
         })
-        lines = old_env.unionByName(new_env).unionByName(
+        # materialize the wire stream ONCE (a real binlog tail is a file):
+        # the replay scans the lines per epoch + once for schema changes,
+        # and re-serializing 100k envelopes per scan tripled the gate's
+        # wall time (28s -> ~13s at sf0.1)
+        wire = tempfile.mkdtemp(prefix="ingestor-dbzddl-wire-")
+        old_env.unionByName(new_env).unionByName(
             spark.createDataFrame([(ddl_line,)], "value string")
-        )
+        ).write.mode("overwrite").text(wire)
+        lines = spark.read.text(wire)
         root = tempfile.mkdtemp(prefix="ingestor-dbzddl-")
         os.rmdir(root)
         t = TargetTable.create(
