@@ -152,7 +152,7 @@ class IncrementalJoin:
             duration_s=0.0,
         ))
 
-    def _fact_projection(self, df: DataFrame, old_keys_as: str | None = None):
+    def _fact_projection(self, df: DataFrame):
         """Project a fact-shaped frame to view key + fk + fact payload."""
         keys = self.table._load()["key_cols"]
         return df.select(
@@ -277,17 +277,26 @@ class IncrementalJoin:
                     F.lit(seq).cast("long").alias("_seq"),
                     F.current_timestamp().alias("_ts"),
                 ))
+            progress = {
+                "consumer": "joinmv",
+                "join_synced_a": va1,
+                "join_synced_b": vb1,
+            }
             st = self.table.merge_apply(
                 batch,
                 stats="light",
                 # progress rides the SAME manifest commit as the rows:
                 # no fold/progress crash gap exists by construction
-                app_meta={
-                    "consumer": "joinmv",
-                    "join_synced_a": va1,
-                    "join_synced_b": vb1,
-                },
+                app_meta=progress,
             )
+            if self.synced_versions() != (va1, vb1):
+                # the delta produced ZERO row changes (e.g. the source
+                # version advanced via a no-visible-change merge, a tag, or
+                # compaction): merge_apply early-returned without touching
+                # the manifest, so make the progress durable on its own —
+                # otherwise every future refresh re-diffs this gap and
+                # fails permanently once retention expires the base
+                self.table.commit_app_meta(progress)
         finally:
             ups.unpersist()
         t1 = time.time()
@@ -331,14 +340,16 @@ class IncrementalJoin:
             F.lit(seq).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
         )
-        st = self.table.merge_apply(
-            upserts, stats="light",
-            app_meta={
-                "consumer": "joinmv",
-                "join_synced_a": va,
-                "join_synced_b": vb,
-            },
-        )
+        progress = {
+            "consumer": "joinmv",
+            "join_synced_a": va,
+            "join_synced_b": vb,
+        }
+        st = self.table.merge_apply(upserts, stats="light", app_meta=progress)
+        if self.synced_versions() != (va, vb):
+            # empty rebuild (both sources empty): merge early-returned;
+            # make the progress durable anyway (see refresh())
+            self.table.commit_app_meta(progress)
         t1 = time.time()
         rec = BatchRecord(
             batch_id=seq, src_offset_start=va, src_offset_end=vb,

@@ -199,6 +199,27 @@ class Scd2History:
         for d in done:
             if self._is_compacted(d):
                 retired.update(self._read_commit(d).get("inputs", []))
+        # LEGACY upgrade path: a merged segment written by the pre-_COMMIT
+        # protocol has no ``-c`` suffix and no inputs list, so a crashed
+        # delete's leftover input would come back LIVE here and double its
+        # intervals. Restore the old containment rule scoped to exactly
+        # that case: a non-compacted segment STRICTLY containing another
+        # complete segment's range retires it. New-protocol segments never
+        # trigger this (originals are non-overlapping by contract; new
+        # compactions carry ``-c`` + ``_COMMIT``). The r4 gap-batch hazard
+        # therefore survives only for pre-upgrade containers — one
+        # ``compact_segments()`` run rewrites them under the new protocol
+        # and ends it.
+        for d in done:
+            if self._is_compacted(d) or d in retired:
+                continue
+            lo_c, hi_c = self._seg_range(d)
+            for o in done:
+                if o == d or o in retired:
+                    continue
+                lo_o, hi_o = self._seg_range(o)
+                if lo_c <= lo_o and hi_o <= hi_c and (lo_o, hi_o) != (lo_c, hi_c):
+                    retired.add(o)
         by_range: dict[tuple[int, int], str] = {}
         for d in sorted(
             (d for d in done if d not in retired),

@@ -139,6 +139,32 @@ class TargetTable:
             self.io.put(self._manifest_path, json.dumps(m2, indent=1).encode())
             m = m2
 
+    def commit_app_meta(self, app_meta: dict, max_retries: int = 5) -> int:
+        """Metadata-only commit of ``app_meta`` (no data change): bumps the
+        snapshot version with the same buckets. Consumers whose progress
+        rides ``app_meta`` (IncrementalJoin) need this when a refresh
+        produced ZERO row changes — :meth:`merge_apply` early-returns on an
+        empty batch without touching the manifest, and without a durable
+        progress bump the consumer would re-diff the same (empty) gap on
+        every refresh, forever (and fail outright once retention expires
+        the base snapshot). Returns the committed version."""
+        for _ in range(max_retries):
+            m = self._load()
+            m["version"] = int(m["version"]) + 1
+            m["history"].append({
+                "at": time.time(), "snapshot": m["version"], "op": "meta",
+                "rows_in": 0, "rows_applied": 0, "buckets": [],
+            })
+            m["app_meta"] = dict(app_meta)
+            try:
+                self._commit_manifest(m)
+                return m["version"]
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"commit_app_meta lost {max_retries} version races in a row"
+        )
+
     def read_app_meta(self) -> dict:
         """Latest committed ``app_meta`` (see :meth:`merge_apply`) — empty
         dict if no merge ever recorded one. Subsequent commits carry the
@@ -461,7 +487,14 @@ class TargetTable:
             for x in conds[1:]:
                 cond = cond | x
             return df.where(cond)
-        return df.join(F.broadcast(probe_df.distinct()), cols, "left_semi")
+        # null-safe equality, matching the <=64 path's isNull handling —
+        # a plain equi-join would silently drop NULL-keyed matches
+        p = probe_df.distinct().alias("_probe")
+        d = df.alias("_data")
+        cond = F.lit(True)
+        for c in cols:
+            cond = cond & F.col(f"_data.{c}").eqNullSafe(F.col(f"_probe.{c}"))
+        return d.join(F.broadcast(p), cond, "left_semi")
 
     # ---------------- merge-apply (M1/M2/M3/M9) ----------------
 

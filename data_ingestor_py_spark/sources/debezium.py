@@ -336,17 +336,29 @@ def is_schema_change(value_col: str = "value") -> Column:
     return env["tableChanges"].isNotNull() | env["ddl"].isNotNull()
 
 
-def parse_schema_changes(df: DataFrame, value_col: str = "value") -> DataFrame:
+def parse_schema_changes(
+    df: DataFrame, value_col: str = "value", ts_ms_fallback: bool = True
+) -> DataFrame:
     """Extract schema-change events from a (possibly mixed) line stream:
-    one output row per change, with ``_seq`` (source.lsn, else ts_ms — the
-    stream position at which the switch takes effect), the DDL text (audit
-    only), and the post-change column list. Catalyst-only."""
+    one output row per change, with ``_seq`` (source.lsn, else ts_ms when
+    ``ts_ms_fallback`` — the stream position at which the switch takes
+    effect; with the fallback OFF, a change without an lsn yields a NULL
+    ``_seq``, which the replay rejects rather than cutting epochs on a
+    foreign ordering scale), the DDL text (audit only), and the
+    post-change column list. Catalyst-only."""
     env = F.from_json(F.col(value_col), schema_change_schema())
-    chg = env["tableChanges"][0]
+    # F.get, not [0]: `tableChanges: []` (unparseable/no-op DDL) must yield
+    # a NULL change block, while ANSI mode makes [0] raise on empty arrays
+    chg = F.get(env["tableChanges"], 0)
+    seq = (
+        F.coalesce(env["source"]["lsn"], env["ts_ms"])
+        if ts_ms_fallback
+        else env["source"]["lsn"]
+    )
     return (
         df.where(env["tableChanges"].isNotNull())
         .select(
-            F.coalesce(env["source"]["lsn"], env["ts_ms"]).alias("_seq"),
+            seq.alias("_seq"),
             env["ts_ms"].alias("ts_ms"),
             env["ddl"].alias("ddl"),
             chg["type"].alias("change_type"),
@@ -357,15 +369,27 @@ def parse_schema_changes(df: DataFrame, value_col: str = "value") -> DataFrame:
     )
 
 
-def table_change_to_evolution(
-    table, wire_columns: list, key_cols: list[str]
-) -> dict:
+# metadata-only type promotions (Iceberg's widening rules): stored files
+# cast up losslessly on read. The REVERSE direction (wire narrower than
+# the lake column) is deliberately ignored — a narrowing cast would
+# corrupt reads of existing data, and it routinely appears when the wire
+# type merely maps smaller than the lake's chosen type (INT vs long).
+_WIDENINGS = {("int", "long"), ("float", "double")}
+
+
+def table_change_to_evolution(table, wire_columns: list) -> dict:
     """Diff a schema-change event's post-change column list against the
     table's CURRENT schema -> the evolve() call that reconciles them:
 
     - wire column absent from the table        -> add (NULL-filled)
-    - wire column present with a wider/other   -> retype (metadata-only;
-      type                                        old files cast on read)
+    - wire column WIDER than the table's       -> retype (metadata-only
+      (int->long, float->double)                  promotion; old files
+                                                  cast up on read)
+    - wire column NARROWER than the table's    -> kept at the wider lake
+                                                  type (narrowing would
+                                                  corrupt stored reads)
+    - incompatible class change (e.g.          -> typed error; reconcile
+      string vs long)                             manually via evolve()
     - table column absent from the wire        -> kept (Iceberg-style:
       a source-side DROP never destroys lake history; new rows simply
       stop populating it)
@@ -392,11 +416,24 @@ def table_change_to_evolution(
     add = [
         (n, t) for n, t in wire.items() if n not in payload and n not in keys
     ]
-    retype = {
-        n: t
-        for n, t in wire.items()
-        if n in payload and payload[n] != t
-    }
+    retype: dict[str, str] = {}
+    for n, t in wire.items():
+        if n not in payload or payload[n] == t:
+            continue
+        if (payload[n], t) in _WIDENINGS:
+            retype[n] = t
+        elif (t, payload[n]) in _WIDENINGS:
+            # wire narrower than the lake column: keep the wider type
+            # (every unrelated ALTER re-lists existing columns, and the
+            # wire mapping may simply be smaller — retyping long->int
+            # here would corrupt reads of existing data)
+            continue
+        else:
+            raise ValueError(
+                f"incompatible retype for column {n!r}: table has "
+                f"{payload[n]!r}, wire says {t!r} — not a metadata-only "
+                "promotion; reconcile manually with evolve()"
+            )
     return {"add": add, "retype": retype}
 
 
@@ -405,6 +442,7 @@ def replay_debezium_with_ddl(
     lines: DataFrame,
     value_col: str = "value",
     ts_ms_fallback: bool = True,
+    table_id: str | None = None,
 ) -> list[tuple[str, str]]:
     """Replay a MIXED Debezium stream (row envelopes + schema-change
     messages) into ``table``, driving schema evolution from the wire
@@ -420,11 +458,27 @@ def replay_debezium_with_ddl(
     once, with its own epoch's schema. Schema-change events are
     metadata-scale (a handful per stream) and are collected driver-side;
     the row path stays Catalyst-only. Returns the final row_fields, so a
-    caller can keep parsing a continuation of the stream."""
-    changes = sorted(
-        parse_schema_changes(lines, value_col).collect(),
-        key=lambda r: r["_seq"],
-    )
+    caller can keep parsing a continuation of the stream.
+
+    ``table_id`` filters schema-change events to this table (Debezium's
+    schema-change topic is per-CONNECTOR — a shared stream carries other
+    tables' DDL, which must not evolve this one). ``None`` accepts every
+    change: only safe for single-table streams. Changes carrying no
+    post-change column list (DROP TABLE, unparseable/no-op DDL arrives as
+    ``tableChanges: []``) still cut an epoch at their position but apply
+    no evolution (a source-side DROP never destroys lake history)."""
+    raw = parse_schema_changes(lines, value_col, ts_ms_fallback).collect()
+    if table_id is not None:
+        raw = [r for r in raw if r["table_id"] == table_id]
+    no_seq = [r for r in raw if r["_seq"] is None]
+    if no_seq:
+        raise ValueError(
+            f"{len(no_seq)} schema-change event(s) carry no source.lsn "
+            "while ts_ms_fallback is off — their epoch position is "
+            "undefined on the LSN scale; fix the connector or enable the "
+            "fallback"
+        )
+    changes = sorted(raw, key=lambda r: r["_seq"])
     # current schema from the table itself — resuming mid-stream after a
     # crash re-derives the right starting point (earlier epochs' evolves
     # are already in the manifest, and merge idempotence absorbs re-sent
@@ -453,9 +507,9 @@ def replay_debezium_with_ddl(
         if ts_ms_fallback
         else env["source"]["lsn"]
     )
-    row_lines = lines.where(
-        env["op"].isNotNull() & ~is_schema_change(value_col)
-    )
+    # op.isNotNull() excludes schema-change messages too (they carry no
+    # ``op`` field) — one from_json per line, not two
+    row_lines = lines.where(env["op"].isNotNull())
 
     bounds = [r["_seq"] for r in changes]
     for i, change in enumerate([*changes, None]):
@@ -473,12 +527,11 @@ def replay_debezium_with_ddl(
         batch = epoch.select(
             *[c for c, _ in fields], "_seq", "_op", "_ts"
         )
-        if batch.limit(1).count() > 0:
-            table.merge_apply(batch)
-        if change is not None:
-            spec = table_change_to_evolution(
-                table, change["columns"], change["key_cols"]
-            )
+        # merge_apply no-ops empty batches itself — probing emptiness here
+        # would cost a full extra parse job per epoch
+        table.merge_apply(batch)
+        if change is not None and change["columns"] is not None:
+            spec = table_change_to_evolution(table, change["columns"])
             if spec["add"] or spec["retype"]:
                 table.evolve(**spec)
     return current_fields()

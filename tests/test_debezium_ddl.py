@@ -143,12 +143,12 @@ def test_key_drop_and_unknown_type_rejected(spark):
         "value string",
     )).collect()[0]
     with pytest.raises(ValueError, match="primary-key"):
-        table_change_to_evolution(t, no_key["columns"], no_key["key_cols"])
+        table_change_to_evolution(t, no_key["columns"])
     weird = parse_schema_changes(spark.createDataFrame(
         [(_ddl(1, BASE_COLS + [("geo", "GEOMETRY")]),)], "value string",
     )).collect()[0]
     with pytest.raises(TypeError, match="GEOMETRY"):
-        table_change_to_evolution(t, weird["columns"], weird["key_cols"])
+        table_change_to_evolution(t, weird["columns"])
 
 
 def test_multiple_changes_in_one_stream(spark):
@@ -170,3 +170,105 @@ def test_multiple_changes_in_one_stream(spark):
     r = t.read().collect()[0]
     assert (r["value"], r["lang"], r["stars"]) == (3.0, "py", 42)
     assert t._load()["current_schema"] == 3
+
+
+def test_drop_and_empty_tablechanges_skip_evolution(spark):
+    """DROP TABLE / unparseable DDL arrive with a null table block or
+    tableChanges: [] — they cut an epoch but apply no evolution (and must
+    not crash the replay)."""
+    t = _mk_table(spark)
+    drop_msg = json.dumps({
+        "ts_ms": 1700000000002, "databaseName": "db",
+        "ddl": "DROP TABLE t", "source": {"lsn": 2},
+        "tableChanges": [{"type": "DROP", "id": '"db"."t"', "table": None}],
+    })
+    empty_msg = json.dumps({
+        "ts_ms": 1700000000003, "databaseName": "db",
+        "ddl": "ANALYZE TABLE t", "source": {"lsn": 3},
+        "tableChanges": [],
+    })
+    lines = [
+        _row("c", {"repo": "r1", "path": "a", "value": 1.0}, 1),
+        drop_msg, empty_msg,
+        _row("c", {"repo": "r2", "path": "b", "value": 2.0}, 4),
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    replay_debezium_with_ddl(t, df)
+    assert {(r["repo"], r["path"]) for r in t.read().collect()} == {
+        ("r1", "a"), ("r2", "b")
+    }
+    types = {f["name"]: f["type"] for f in t.schema_fields()}
+    assert types == {"value": "double"}  # no spurious evolution
+
+
+def test_other_tables_ddl_filtered_by_table_id(spark):
+    """A shared (per-connector) schema-change stream carries other tables'
+    DDL; with table_id set, only this table's changes apply."""
+    t = _mk_table(spark)
+    other = json.dumps({
+        "ts_ms": 1700000000002, "databaseName": "db",
+        "ddl": "ALTER TABLE other ADD COLUMN z INT", "source": {"lsn": 2},
+        "tableChanges": [{
+            "type": "ALTER", "id": '"db"."other"',
+            "table": {
+                "primaryKeyColumnNames": ["zid"],
+                "columns": [{"name": "zid", "typeName": "INT",
+                             "position": 1, "optional": False}],
+            },
+        }],
+    })
+    lines = [
+        _row("c", {"repo": "r1", "path": "a", "value": 1.0}, 1),
+        other,  # would raise 'drops primary-key' if applied to t
+        _ddl(3, WIDE_COLS),
+        _row("u", {"repo": "r1", "path": "a", "value": 2.0,
+                   "lang": "py"}, 4),
+    ]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    replay_debezium_with_ddl(t, df, table_id='"db"."t"')
+    types = {f["name"]: f["type"] for f in t.schema_fields()}
+    assert "lang" in types and "zid" not in types
+    rows = {(r["repo"], r["path"]): r["lang"] for r in t.read().collect()}
+    assert rows == {("r1", "a"): "py"}
+
+
+def test_narrowing_retype_is_ignored(spark):
+    """An unrelated ALTER re-listing an existing column with a NARROWER
+    wire type (INT vs the lake's long) must not narrow the lake column."""
+    t = TargetTable.create(
+        spark, _mkroot(), key_cols=["repo", "path"],
+        columns=[("value", "long")], num_buckets=4,
+    )
+    chg = parse_schema_changes(spark.createDataFrame(
+        [(_ddl(1, [("repo", "VARCHAR(64)"), ("path", "VARCHAR(64)"),
+                   ("value", "INT"), ("note", "VARCHAR(10)")]),)],
+        "value string",
+    )).collect()[0]
+    spec = table_change_to_evolution(t, chg["columns"])
+    assert spec == {"add": [("note", "string")], "retype": {}}
+
+
+def test_incompatible_retype_raises(spark):
+    t = TargetTable.create(
+        spark, _mkroot(), key_cols=["repo", "path"],
+        columns=[("value", "long")], num_buckets=4,
+    )
+    chg = parse_schema_changes(spark.createDataFrame(
+        [(_ddl(1, [("repo", "VARCHAR(64)"), ("path", "VARCHAR(64)"),
+                   ("value", "VARCHAR(9)")]),)],
+        "value string",
+    )).collect()[0]
+    with pytest.raises(ValueError, match="incompatible retype"):
+        table_change_to_evolution(t, chg["columns"])
+
+
+def test_lsn_strict_rejects_seqless_schema_change(spark):
+    t = _mk_table(spark)
+    no_lsn = json.dumps({
+        "ts_ms": 1700000000002, "databaseName": "db", "ddl": "ALTER ...",
+        "tableChanges": [],
+    })
+    lines = [_row("c", {"repo": "r1", "path": "a", "value": 1.0}, 1), no_lsn]
+    df = spark.createDataFrame([(x,) for x in lines], "value string")
+    with pytest.raises(ValueError, match="no source.lsn"):
+        replay_debezium_with_ddl(t, df, ts_ms_fallback=False)

@@ -235,3 +235,25 @@ def test_join_view_over_streamed_fact(spark, tmp_path):
     q.awaitTermination(120)
     assert len(checks) >= 2 and all(checks)
     assert v.synced_versions()[0] == fact._load()["version"]
+
+
+def test_empty_delta_still_advances_progress(spark):
+    """A fact version bump with NO visible row change (meta-only commit,
+    all-late merge, compaction) yields an empty refresh delta;
+    merge_apply early-returns without committing app_meta, so the
+    progress must be made durable separately — otherwise the view
+    re-diffs the same gap on every refresh forever and fails permanently
+    once retention expires the base snapshot."""
+    fact, dim = _mk_tables(spark)
+    v = _mk_view(spark, fact, dim)
+    fact.merge_apply(_batch(spark, FACT_DDL, [("1", "a", 1, 1, "U")]))
+    dim.merge_apply(_batch(spark, DIM_DDL, [("a", "A", 1, "U")]))
+    v.refresh()
+    assert v.synced_versions() == (1, 1)
+    # version bump with no data change
+    fact.commit_app_meta({"note": "maintenance"})
+    assert fact._load()["version"] == 2
+    assert v.refresh() is not None
+    assert v.synced_versions() == (2, 1)   # progress advanced
+    assert v.refresh() is None             # and stays advanced
+    assert _check(v) == [("1", "a", 1, "A")]

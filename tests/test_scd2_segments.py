@@ -184,3 +184,51 @@ def test_equal_range_twins_tie_broken_not_destroyed(spark):
     assert os.path.basename(twin_src) in live
     assert loser_name in done and loser_name not in live
     assert _rows(h) == before  # history intact, no duplicates
+
+
+def test_legacy_merged_segment_leftover_is_not_resurrected(spark):
+    """Upgrade path: a merged segment written by the PRE-_COMMIT protocol
+    (no -c suffix, no inputs list) whose crashed delete left an input on
+    disk. Name-based supersession alone would bring the input back LIVE —
+    doubling its intervals. The scoped legacy containment rule (container
+    without -c strictly containing another segment) must retire it."""
+    h = create_history_table(
+        spark, _mkroot(), KEYS, [("lang", "string"), ("content", "string")],
+        num_buckets=4,
+    )
+    ev = _events(spark, n=900, seed=91)
+    for part in _range_batches(ev, 3):
+        scd2_apply(h, part, KEYS, PAY)
+    segs = [os.path.basename(p) for p in h.closed_segments()]
+    assert len(segs) == 3
+    ranges = sorted(Scd2History._seg_range(s) for s in segs)
+    count = sum(Scd2History._seg_count(s) for s in segs)
+    sv = Scd2History._seg_schema(segs[0])
+    # fabricate the r4-style merged segment: union range, NO -c, NO
+    # _COMMIT, parquet = concatenation of the inputs, plus _SUCCESS
+    legacy = f"seg-{ranges[0][0]}-{ranges[-1][1]}-{count}-s{sv}"
+    ldir = os.path.join(h.closed_dir, legacy)
+    os.makedirs(ldir)
+    for s in segs:
+        for f in os.listdir(os.path.join(h.closed_dir, s)):
+            if f.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(h.closed_dir, s, f),
+                    os.path.join(ldir, f"{s}-{f}"),
+                )
+    open(os.path.join(ldir, "_SUCCESS"), "w").close()
+    # crashed mid-delete: inputs 0 and 2 gone, input 1 (middle) survives
+    mid = sorted(segs, key=Scd2History._seg_range)[1]
+    for s in segs:
+        if s != mid:
+            shutil.rmtree(os.path.join(h.closed_dir, s))
+
+    live = {os.path.basename(p) for p in h.closed_segments()}
+    assert live == {legacy}  # the leftover input is retired, not live
+    # and the history reads every interval exactly ONCE
+    want = sorted(
+        (tuple("\0" if v is None else v for v in r)
+         for r in scd2_transform(ev, KEYS, PAY)
+         .select(*KEYS, *PAY, "valid_from", "valid_to").collect())
+    )
+    assert _rows(h) == want
