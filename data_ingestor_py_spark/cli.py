@@ -222,10 +222,11 @@ def main(argv: list[str] | None = None) -> int:
         ]
     else:
         batches = split_batches(events, args.batches)
+    pt: list = []
     recs = replay(table, batches, salt_buckets=args.salt_buckets,
                   prepare=prep, checksum=args.checksum,
                   stats="light" if args.light_stats else "full",
-                  expire_keep=args.expire_keep)
+                  expire_keep=args.expire_keep, phase_times=pt)
     wall = time.time() - t0
     # steady-state rate: skip warmup batches (JIT compile + cold caches);
     # best-batch rate filters host-level stall noise (VM steal time)
@@ -249,6 +250,7 @@ def main(argv: list[str] | None = None) -> int:
         ),
         "snapshot_version": recs[-1].snapshot_version if recs else None,
         "cores": args.cores,
+        "phase_times": pt,
     }
     print(json.dumps(out))
     spark.stop()

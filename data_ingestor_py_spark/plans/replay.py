@@ -47,6 +47,7 @@ def replay(
     stats: str = "full",
     expire_keep: int = 0,
     fallback: "FallbackLogger | None" = None,
+    phase_times: list | None = None,
 ) -> list[BatchRecord]:
     """Replay a list of event micro-batches into ``table``.
 
@@ -85,10 +86,20 @@ def replay(
             on_batch_start(i, table)
         df = prepare(batch, i) if prepare is not None else batch
         st = table.merge_apply(df, salt_buckets=salt_buckets, stats=stats)
+        t_m = time.time()
         csum = table.snapshot_hash() if checksum else ""
         if expire_keep:
             table.expire_snapshots(keep_last=expire_keep)
         t1 = time.time()
+        if phase_times is not None:
+            # per-batch phase decomposition (diagnostics for the scaling
+            # harness: which part of the batch is fixed-cost vs parallel)
+            phase_times.append({
+                "batch_id": i, "discover_s": st.discover_s,
+                "merge_s": st.merge_s,
+                "other_merge_s": round(t_m - t0 - st.discover_s - st.merge_s, 3),
+                "expire_s": round(t1 - t_m, 3),
+            })
         rec = BatchRecord(
             batch_id=i,
             src_offset_start=st.seq_min,
