@@ -107,6 +107,37 @@ def q_cdc_merge_full_replay(spark, sf_dir):
     return _final_state(spark, sf_dir)
 
 
+def q_cdc_merge_mor_replay(spark, sf_dir):
+    """Same CDC replay through the MERGE-ON-READ table mode
+    (plans/target.py merge_mode='mor'): each batch appends one batch-deduped
+    delta layer per touched bucket instead of rewriting the bucket, the read
+    path resolves base+deltas with the COW winner rule, and a low compaction
+    threshold forces mid-replay compactions. Final state must equal the COW
+    flagship byte-for-byte — same oracle SQL."""
+    key = ("flagship-mor", sf_dir)
+    if key not in _REPLAY_CACHE:
+        root = tempfile.mkdtemp(prefix="ingestor-mor-")
+        os.rmdir(root)
+        table = TargetTable.create(
+            spark, root, key_cols=["repo", "path"],
+            columns=[("commit", "string"), ("lang", "string"), ("value", "double")],
+            num_buckets=16, merge_mode="mor", mor_max_deltas=2,
+        )
+        cdc = _events_cdc(spark, sf_dir)
+        batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
+        prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
+        replay(table, batches, prepare=prep)
+        _REPLAY_CACHE[key] = root
+    table = TargetTable(spark, _REPLAY_CACHE[key])
+    return table.read().select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_checkpoint_lineage_counts(spark, sf_dir):
     _flagship_root(spark, sf_dir)
     cp = Checkpoint(spark, _REPLAY_CACHE[("flagship", sf_dir)])
@@ -1151,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
+        "cdc_merge_mor_replay": q_cdc_merge_mor_replay,
         "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
@@ -1164,7 +1196,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -1204,6 +1235,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "sessionize_events": q_sessionize_events,
         "multimodal_decode_features": q_multimodal_decode_features,
         "multimodal_resize": q_multimodal_resize,
@@ -1636,6 +1668,11 @@ def oracle_sql() -> dict[str, str]:
     fp_h = HASH_SQL.format(x="t") + f" % {P}"
     return {
         "cdc_merge_full_replay": (
+            f"SELECT user_id, k, event_id AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # merge-on-read mode must produce the IDENTICAL final state
+        "cdc_merge_mor_replay": (
             f"SELECT user_id, k, event_id AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
         ),

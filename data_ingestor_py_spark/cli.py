@@ -35,6 +35,11 @@ def _add_common(p: argparse.ArgumentParser) -> None:
                    help="per-bucket event counts instead of exact distinct-key lineage")
     p.add_argument("--expire-keep", type=int, default=0,
                    help="expire old snapshots after each batch, keeping N")
+    p.add_argument("--merge-mode", choices=["cow", "mor"], default="cow",
+                   help="copy-on-write bucket rewrite vs merge-on-read delta "
+                        "layers (only applies when this run CREATES the table)")
+    p.add_argument("--mor-max-deltas", type=int, default=8,
+                   help="auto-compact a bucket at this many delta layers (0 = manual)")
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -78,6 +83,10 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--cores", type=int, default=None)
     mnt.add_argument("--rewrite-data-files", action="store_true",
                      help="consolidate stale/old-schema buckets (zero-shuffle)")
+    mnt.add_argument("--compact-deltas", action="store_true",
+                     help="fold merge-on-read delta layers back into their buckets")
+    mnt.add_argument("--min-deltas", type=int, default=1,
+                     help="compact only buckets with at least this many layers")
     mnt.add_argument("--stale-after", type=int, default=8)
     mnt.add_argument("--expire-keep", type=int, default=0,
                      help="expire snapshots, keeping N (tagged snapshots are pinned)")
@@ -113,6 +122,8 @@ def main(argv: list[str] | None = None) -> int:
             out["dropped_tag"] = args.drop_tag
         if args.rewrite_data_files:
             out["rewrite_snapshot"] = t.rewrite_data_files(stale_after=args.stale_after)
+        if args.compact_deltas:
+            out["compact_snapshot"] = t.compact_bucket_deltas(min_deltas=args.min_deltas)
         if args.expire_keep:
             t.expire_snapshots(keep_last=args.expire_keep)
             out["expired_keep_last"] = args.expire_keep
@@ -186,6 +197,8 @@ def main(argv: list[str] | None = None) -> int:
                 ("_content_sha256", "string"),
             ],
             num_buckets=args.num_buckets,
+            merge_mode=getattr(args, "merge_mode", "cow"),
+            mor_max_deltas=getattr(args, "mor_max_deltas", 8),
         )
 
     def prep(df, i):

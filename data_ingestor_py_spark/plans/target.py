@@ -73,6 +73,28 @@ def _bucket_expr(key_cols: list[str], num_buckets: int):
     return F.pmod(F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(num_buckets)).cast("int")
 
 
+def _ref_dirs(m: dict) -> set[str]:
+    """Top-level data dirs a manifest references: every bucket's base dir
+    plus (merge-on-read mode) its delta-layer dirs. The single source for
+    GC/liveness decisions — expire_snapshots, tag liveness, diff retention
+    checks all consult this so a delta layer can never be collected while
+    any considered snapshot still reads it."""
+    out: set[str] = set()
+    for e in m["buckets"].values():
+        out.add(e["path"].split("/")[0])
+        for d in e.get("deltas", ()):
+            out.add(d["path"].split("/")[0])
+    return out
+
+
+def _entry_data_id(e: dict) -> tuple:
+    """Identity of the DATA a bucket entry resolves to: base path + ordered
+    delta paths (paths are writer-unique, files immutable). Two versions'
+    entries with equal data ids cannot differ in content — the
+    changelog-scan pruning predicate."""
+    return (e.get("path"), tuple(d["path"] for d in e.get("deltas", ())))
+
+
 @dataclass
 class MergeStats:
     rows_in: int
@@ -207,6 +229,8 @@ class TargetTable:
         seq_col: str = "_seq",
         bucket_cols: list[str] | None = None,
         storage: StorageAdapter | None = None,
+        merge_mode: str = "cow",
+        mor_max_deltas: int = 8,
     ) -> "TargetTable":
         """Create an empty table. ``columns`` = [(name, spark_type)] for the
         payload; engine columns (_seq, _op, _ts) are always present.
@@ -215,7 +239,28 @@ class TargetTable:
         default is the full key — uniform spread, every batch touches every
         bucket; ``["repo"]`` co-locates a repo's files so repo-local CDC
         batches read/rewrite only their repos' buckets (at the cost of
-        bucket-size skew for hot repos — pick per workload)."""
+        bucket-size skew for hot repos — pick per workload).
+
+        ``merge_mode`` picks the write amplification tradeoff:
+
+        - ``"cow"`` (copy-on-write, default): each merge REWRITES every
+          touched bucket. Reads are single-layer fast; per-batch write cost
+          is O(touched state). Right when batches are large relative to the
+          table or bucketing is batch-local (``bucket_cols=["repo"]``).
+        - ``"mor"`` (merge-on-read): each merge APPENDS one batch-deduped
+          delta layer per touched bucket; the read path resolves
+          base+deltas with the same max-``_seq`` winner rule the merge
+          uses, and buckets are compacted back to one layer once they
+          accumulate ``mor_max_deltas`` layers (0 = manual compaction
+          only). Per-batch write cost is O(batch) — at 10^10-event scale a
+          1%%-of-keys batch under hash bucketing touches ~every bucket, so
+          COW would rewrite ~the whole table per batch while MoR writes
+          only the batch; read amplification is bounded by the compaction
+          threshold. This is Hudi's MoR / Paimon's LSM tradeoff; final
+          state is byte-identical to COW (same winner rule, associative —
+          pinned by tests/test_mor.py state-hash equality)."""
+        if merge_mode not in ("cow", "mor"):
+            raise ValueError(f"merge_mode must be 'cow' or 'mor', got {merge_mode!r}")
         os.makedirs(root, exist_ok=True)  # data plane (Spark-written parquet)
         t = cls(spark, root, storage)
         fields = [{"id": i + 1, "name": n, "type": ty} for i, (n, ty) in enumerate(columns)]
@@ -228,8 +273,11 @@ class TargetTable:
             "num_buckets": num_buckets,
             "current_schema": 1,
             "schemas": {"1": fields},
-            "buckets": {},  # bucket_id -> {"path": rel_dir, "schema": v}
+            # bucket_id -> {"path": rel_dir, "schema": v[, "deltas": [...]]}
+            "buckets": {},
             "history": [],
+            "merge_mode": merge_mode,
+            "mor_max_deltas": mor_max_deltas,
         }
         t._commit_manifest(m)
         return t
@@ -350,7 +398,7 @@ class TargetTable:
         # and read_tag would fail lazily with a path-not-found deep inside
         # the scan (same eager check as diff_versions — one listing)
         live = {d for d in self.io.list_dirs(self.root) if d.startswith("snap-")}
-        gone = {e["path"].split("/")[0] for e in tm["buckets"].values()} - live
+        gone = _ref_dirs(tm) - live
         if gone:
             raise FileNotFoundError(
                 f"cannot tag snapshot v{target}: it references expired data "
@@ -392,23 +440,60 @@ class TargetTable:
             + [f"{m['seq_col']} long", "_op string", "_ts timestamp"]
         )
 
-    def _state_df(self, m: dict, bucket_ids: list[int] | None = None) -> DataFrame:
-        """Raw state incl. tombstones for the given buckets (None = all)."""
+    def _grouped_read(self, m: dict, layers: list[tuple[int, str]]) -> DataFrame | None:
+        """Read (schema_version, rel_path) layers grouped by schema version
+        (one scan per version, explicit schema — skips footer inference),
+        aligned to the current schema and unioned."""
         groups: dict[int, list[str]] = {}
-        for b, info in m["buckets"].items():
-            if bucket_ids is not None and int(b) not in bucket_ids:
-                continue
-            groups.setdefault(info["schema"], []).append(os.path.join(self.root, info["path"]))
-        if not groups:
-            return self._empty_state(m)
+        for schema_v, rel in layers:
+            groups.setdefault(schema_v, []).append(os.path.join(self.root, rel))
         parts = []
         for schema_v, paths in groups.items():
-            # explicit schema: skips per-batch footer-based inference
             df = self.spark.read.schema(self._written_ddl(m, schema_v)).parquet(*paths)
             parts.append(self._align(df, m, schema_v))
+        if not parts:
+            return None
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        return out
+
+    def _state_df(self, m: dict, bucket_ids: list[int] | None = None) -> DataFrame:
+        """Raw state incl. tombstones for the given buckets (None = all).
+
+        Merge-on-read resolution happens here, and ONLY for buckets that
+        actually carry delta layers: their base+delta rows reduce to one
+        row per key with the same ``max(struct(_seq, payload…))`` winner
+        rule the COW merge applies (associative, so layering batch-local
+        maxima is exactly the COW result — tests/test_mor.py pins
+        state-hash equality). Compacted / COW buckets take the plain
+        single-layer read, so a fully compacted MoR table reads at COW
+        speed."""
+        plain: list[tuple[int, str]] = []
+        layered: list[tuple[int, str]] = []
+        for b, info in m["buckets"].items():
+            if bucket_ids is not None and int(b) not in bucket_ids:
+                continue
+            if info.get("deltas"):
+                layered.append((info["schema"], info["path"]))
+                layered += [(d["schema"], d["path"]) for d in info["deltas"]]
+            else:
+                plain.append((info["schema"], info["path"]))
+        parts = []
+        p = self._grouped_read(m, plain)
+        if p is not None:
+            parts.append(p)
+        if layered:
+            raw = self._grouped_read(m, layered)
+            # column order = current_columns, so the reduce's tie-break
+            # struct field order matches the COW merge window's ordering
+            cols = self.current_columns(m)
+            parts.append(latest_by_key(raw.select(*cols), m["key_cols"], m["seq_col"]))
+        if not parts:
+            return self._empty_state(m)
+        out = parts[0]
+        for q in parts[1:]:
+            out = out.unionByName(q)
         return out
 
     def read(self) -> DataFrame:
@@ -532,16 +617,30 @@ class TargetTable:
         including repo-local ones concentrated in few buckets — pay
         nothing.
         """
+        st = None
         for attempt in range(max_commit_retries + 1):
             try:
-                return self._merge_apply_once(
+                st = self._merge_apply_once(
                     batch, salt_buckets, stats, auto_salt_min_rows,
                     auto_salt_skew_ratio, app_meta,
                 )
+                break
             except CommitConflict:
                 if attempt == max_commit_retries:
                     raise
-        raise AssertionError("unreachable")
+        # MoR auto-compaction rides OUTSIDE the merge's conflict-retry: a
+        # compaction race must never re-apply the (already committed) merge.
+        # compact_bucket_deltas does its own conflict retries internally.
+        m = self._load()
+        thr = m.get("mor_max_deltas") or 0
+        if m.get("merge_mode") == "mor" and thr:
+            over = [
+                int(b) for b, e in m["buckets"].items()
+                if len(e.get("deltas", ())) >= thr
+            ]
+            if over:
+                self.compact_bucket_deltas(bucket_ids=over)
+        return st
 
     def _merge_apply_once(
         self,
@@ -661,6 +760,12 @@ class TargetTable:
             else:
                 salt_buckets = 0
 
+        if m.get("merge_mode") == "mor":
+            return self._merge_delta_commit(
+                m, batch, salt_buckets, rows_in, seq_min, seq_max, rows_dedup,
+                per_bucket, per_bucket_del, touched, app_meta, t_d1 - t_d0,
+            )
+
         # Job 2: one-shot merge reduce + bucket rewrite, structured as a
         # single shuffle: hash-partition by bucket, sort each partition by
         # (key asc, _seq desc, payload desc), keep the first row per key via
@@ -731,6 +836,146 @@ class TargetTable:
             salt_used=int(salt_buckets),
         )
 
+    def _merge_delta_commit(
+        self,
+        m: dict,
+        batch: DataFrame,
+        salt_buckets: int,
+        rows_in: int,
+        seq_min: int,
+        seq_max: int,
+        rows_dedup: int,
+        per_bucket: dict,
+        per_bucket_del: dict,
+        touched: list[int],
+        app_meta: dict | None,
+        discover_s: float,
+    ) -> MergeStats:
+        """Merge-on-read Job 2: reduce the BATCH ALONE to one row per key
+        (same winner struct as the COW window — max is associative, so
+        layering per-batch winners resolves to the COW result) and append
+        it as one delta layer per touched bucket. No state read, no state
+        rewrite: per-batch cost is O(batch) regardless of table size — the
+        property that survives 10^10 events, where a hash-spread batch
+        touches every bucket and COW would rewrite the whole table.
+
+        The write is ``partitionBy(bkt)`` off the reduce's own shuffle
+        (grouping keys include the bucket expr), so this stays a
+        single-Exchange job like the COW merge."""
+        t_m0 = time.time()
+        key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
+        bucket_cols = m.get("bucket_cols", key_cols)
+        cols = self.current_columns(m)
+
+        with_bkt = batch.withColumn("bkt", _bucket_expr(bucket_cols, B))
+        if salt_buckets:
+            reduced = salted_latest_by_key(
+                with_bkt, key_cols + ["bkt"], seq_col, salt_buckets
+            ).select(*cols, "bkt")
+        else:
+            reduced = latest_by_key(
+                with_bkt.select(*cols, "bkt"), key_cols + ["bkt"], seq_col
+            ).select(*cols, "bkt")
+
+        new_v = m["version"] + 1
+        rel, out_dir = self._write_snap_dir(reduced, new_v)
+        written = self._written_buckets(out_dir)
+        layer_schema = m["current_schema"]
+        for b in touched:
+            if b not in written:
+                continue  # defensive: stats saw events but no rows landed
+            e = m["buckets"].get(str(b))
+            if e is None:
+                # first layer for this bucket IS its base
+                e = {"path": f"{rel}/bkt={b}", "schema": layer_schema,
+                     "ts_ub": per_bucket_del.get(b, 0)}
+            else:
+                e.setdefault("deltas", []).append(
+                    {"path": f"{rel}/bkt={b}", "schema": layer_schema}
+                )
+                if "ts_ub" in e:
+                    e["ts_ub"] += per_bucket_del.get(b, 0)
+            m["buckets"][str(b)] = e
+        m["version"] = new_v
+        m["history"].append(
+            {"at": time.time(), "snapshot": new_v, "op": "merge_delta",
+             "rows_in": rows_in, "rows_applied": rows_dedup, "buckets": touched}
+        )
+        if app_meta is not None:
+            m["app_meta"] = dict(app_meta)
+        self._commit_manifest(m)
+        return MergeStats(
+            rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()),
+            seq_min, seq_max,
+            discover_s=round(discover_s, 3), merge_s=round(time.time() - t_m0, 3),
+            salt_used=int(salt_buckets),
+        )
+
+    def compact_bucket_deltas(
+        self, bucket_ids: list[int] | None = None, min_deltas: int = 1,
+        max_retries: int = 5,
+    ) -> int | None:
+        """Merge-on-read maintenance: fold each selected bucket's
+        base+delta layers back into ONE bucket file at the current schema
+        (visible state unchanged — the fold is the read path's own
+        resolution). Default selection = every bucket with at least
+        ``min_deltas`` delta layers. Commits through the CAS protocol and
+        simply retries on a racing merge (compaction has no work to lose —
+        it re-reads and re-folds). Returns the new snapshot version, or
+        None if nothing qualified.
+
+        Scale shape: cost is O(selected buckets' resolved state), amortized
+        O(table · batches / threshold) like any LSM compaction; untouched
+        buckets carry over by reference. The auto-trigger in
+        :meth:`merge_apply` keeps read amplification bounded by
+        ``mor_max_deltas`` without operator action."""
+        for _ in range(max_retries):
+            m = self._load()
+            if bucket_ids is None:
+                ids = sorted(
+                    int(b) for b, e in m["buckets"].items()
+                    if len(e.get("deltas", ())) >= max(1, min_deltas)
+                )
+            else:
+                ids = sorted(
+                    b for b in bucket_ids
+                    if m["buckets"].get(str(b), {}).get("deltas")
+                )
+            if not ids:
+                return None
+            bucket_cols = m.get("bucket_cols", m["key_cols"])
+            cols = self.current_columns(m)
+            out = self._state_df(m, ids).select(*cols).withColumn(
+                "bkt", _bucket_expr(bucket_cols, m["num_buckets"])
+            )
+            new_v = m["version"] + 1
+            rel, out_dir = self._write_snap_dir(out, new_v)
+            written = self._written_buckets(out_dir)
+            for b in ids:
+                if b in written:
+                    old = m["buckets"][str(b)]
+                    entry = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
+                    if "ts_ub" in old:
+                        # resolution can only DROP superseded tombstones, so
+                        # the carried bound stays an upper bound
+                        entry["ts_ub"] = old["ts_ub"]
+                    m["buckets"][str(b)] = entry
+                else:
+                    m["buckets"].pop(str(b), None)
+            m["version"] = new_v
+            m["history"].append(
+                {"at": time.time(), "snapshot": new_v, "op": "compact_deltas",
+                 "buckets": ids}
+            )
+            try:
+                self._commit_manifest(m)
+                return new_v
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            f"compact_bucket_deltas lost {max_retries} version races in a row"
+        )
+
     def bulk_load(self, df: DataFrame) -> MergeStats:
         """Initial-load fast path: the input is already one-row-per-key
         (e.g. a table snapshot), so the dedup window is unnecessary — just
@@ -785,7 +1030,7 @@ class TargetTable:
         # lagging consumers (IncrementalAggregate.refresh) can recover.
         live = {d for d in self.io.list_dirs(self.root) if d.startswith("snap-")}
         for mm, v in ((m_old, v_old), (m_new, v_new)):
-            gone = {e["path"].split("/")[0] for e in mm["buckets"].values()} - live
+            gone = _ref_dirs(mm) - live
             if gone:
                 raise FileNotFoundError(
                     f"snapshot v{v} references expired data dirs "
@@ -802,7 +1047,7 @@ class TargetTable:
             bucket_ids = sorted(
                 int(b)
                 for b in set(bo) | set(bn)
-                if bo.get(b, {}).get("path") != bn.get(b, {}).get("path")
+                if _entry_data_id(bo.get(b, {})) != _entry_data_id(bn.get(b, {}))
             )
         old = self._state_df(m_old, bucket_ids).where(F.col("_op") != "D")
         new = self._state_df(m_new, bucket_ids).where(F.col("_op") != "D")
@@ -1124,7 +1369,7 @@ class TargetTable:
         self.io.sweep_staging(self.root)
         self.io.sweep_staging(os.path.join(self.root, "_versions"))
         m = self._load()
-        live = {info["path"].split("/")[0] for info in m["buckets"].values()}
+        live = _ref_dirs(m)
         # tagged snapshots are retention anchors: their data dirs stay
         # live until the tag is dropped (Iceberg ref-aware expiry)
         for tag_v in set(m.get("tags", {}).values()):
@@ -1132,7 +1377,7 @@ class TargetTable:
                 mt = self._get_manifest(self._version_path(tag_v))
             except FileNotFoundError:
                 continue  # tag predates a manifest sweep — nothing to pin
-            live |= {e["path"].split("/")[0] for e in mt["buckets"].values()}
+            live |= _ref_dirs(mt)
         # data plane through the storage adapter too: delimiter listing +
         # batch prefix delete are the only ops GC needs, so on a real object
         # store the whole maintenance path rides the same adapter swap as
