@@ -138,6 +138,41 @@ def q_cdc_merge_mor_replay(spark, sf_dir):
     )
 
 
+def q_stats_pruned_scan(spark, sf_dir):
+    """Statistics-pruned selective read (plans/filestats.py +
+    TargetTable.read_where): the flagship CDC replay lands in a table with
+    per-file (min, max, null_count) harvested from parquet footers at every
+    commit; a clustering rewrite (sort within bucket by value, bounded file
+    size) tightens the per-file ranges; the selective read then skips every
+    bucket/file whose statistics cannot satisfy the predicate — Iceberg
+    manifest pruning re-expressed on the engine's own metadata. Result must
+    equal the unpruned final state filtered by the same predicate."""
+    key = ("stats", sf_dir)
+    if key not in _REPLAY_CACHE:
+        root = tempfile.mkdtemp(prefix="ingestor-stats-")
+        os.rmdir(root)
+        table = TargetTable.create(
+            spark, root, key_cols=["repo", "path"],
+            columns=[("commit", "string"), ("lang", "string"), ("value", "double")],
+            num_buckets=16, stats_cols=["lang", "value", "_seq"],
+        )
+        cdc = _events_cdc(spark, sf_dir)
+        batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
+        prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
+        replay(table, batches, prepare=prep)
+        table.rewrite_data_files(sort_by=["value"], max_rows_per_file=2000)
+        _REPLAY_CACHE[key] = root
+    table = TargetTable(spark, _REPLAY_CACHE[key])
+    out = table.read_where([("lang", "in", ["click", "view"]), ("value", ">=", 10.0)])
+    return out.select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_checkpoint_lineage_counts(spark, sf_dir):
     _flagship_root(spark, sf_dir)
     cp = Checkpoint(spark, _REPLAY_CACHE[("flagship", sf_dir)])
@@ -1183,6 +1218,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # touched this round (merge app_meta plumbing / oracle fixes / new):
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
         "cdc_merge_mor_replay": q_cdc_merge_mor_replay,
+        "stats_pruned_scan": q_stats_pruned_scan,
         "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
@@ -1191,8 +1227,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mapping_projection": q_mapping_projection,
         "flatten_explode_tokens": q_flatten_explode_tokens,
         "broadcast_dict_join": q_broadcast_dict_join,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "groupby_argmax_mode": q_groupby_argmax_mode,
         "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -1235,6 +1269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "groupby_argmax_mode": q_groupby_argmax_mode,
+        "agg_pricing_summary": q_agg_pricing_summary,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "sessionize_events": q_sessionize_events,
         "multimodal_decode_features": q_multimodal_decode_features,
@@ -1675,6 +1711,12 @@ def oracle_sql() -> dict[str, str]:
         "cdc_merge_mor_replay": (
             f"SELECT user_id, k, event_id AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # the pruned scan must equal the unpruned final state + filter
+        "stats_pruned_scan": (
+            f"SELECT user_id, k, event_id AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type IN ('click', 'view') "
+            f"AND value >= 10.0"
         ),
         "checkpoint_lineage_counts": (
             f"SELECT event_id % 4 AS batch_id, "

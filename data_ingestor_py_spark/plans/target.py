@@ -56,6 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.operators.dedup import latest_by_key, salted_latest_by_key
+from data_ingestor_py_spark.plans import filestats
 from data_ingestor_py_spark.storage import PosixStorage, StorageAdapter
 
 MANIFEST = "_manifest.json"
@@ -205,6 +206,16 @@ class TargetTable:
 
         A crash between 1 and 2 is repaired by :meth:`_load`'s roll-forward.
         The version files double as time-travel metadata."""
+        if m.get("stats"):
+            # GC file statistics of data dirs no longer referenced by any
+            # bucket entry (rewritten/compacted away) so the manifest stays
+            # O(live files), not O(all files ever written)
+            live = {e["path"] for e in m["buckets"].values()} | {
+                d["path"]
+                for e in m["buckets"].values()
+                for d in e.get("deltas", ())
+            }
+            m["stats"] = {k: v for k, v in m["stats"].items() if k in live}
         vpath = self._version_path(m["version"])
         payload = json.dumps(m, indent=1).encode()
         if not self.io.put_if_absent(vpath, payload):
@@ -231,6 +242,7 @@ class TargetTable:
         storage: StorageAdapter | None = None,
         merge_mode: str = "cow",
         mor_max_deltas: int = 8,
+        stats_cols: list[str] | None = None,
     ) -> "TargetTable":
         """Create an empty table. ``columns`` = [(name, spark_type)] for the
         payload; engine columns (_seq, _op, _ts) are always present.
@@ -279,6 +291,10 @@ class TargetTable:
             "merge_mode": merge_mode,
             "mor_max_deltas": mor_max_deltas,
         }
+        if stats_cols:
+            m["stats_keys"] = [
+                t._resolve_stats_col(m, c) for c in stats_cols
+            ]
         t._commit_manifest(m)
         return t
 
@@ -297,17 +313,30 @@ class TargetTable:
             + [m["seq_col"], "_op", "_ts"]
         )
 
-    def _write_snap_dir(self, df: DataFrame, new_v: int) -> tuple[str, str]:
+    def _write_snap_dir(
+        self,
+        df: DataFrame,
+        new_v: int,
+        m: dict | None = None,
+        max_rows_per_file: int | None = None,
+    ) -> tuple[str, str]:
         """Write a bucket-partitioned snapshot data dir under a
         writer-unique name (two racing committers never share a dir; the
         CAS on the version manifest decides whose dir becomes visible).
         ``df`` must carry a ``bkt`` column. Returns (rel, abs) paths —
         the single source of the snap-dir naming/write protocol shared by
         merge, bulk load, partition rewrite, tombstone purge, and data-file
-        rewrite."""
+        rewrite. When ``m`` tracks statistics columns, the new files'
+        footer stats are harvested into it here, so every writer gets
+        pruning metadata without writer-specific plumbing."""
         rel = f"snap-{new_v:06d}-{uuid.uuid4().hex[:8]}"
         out_dir = os.path.join(self.root, rel)
-        df.write.partitionBy("bkt").mode("overwrite").parquet(out_dir)
+        w = df.write.partitionBy("bkt").mode("overwrite")
+        if max_rows_per_file:
+            w = w.option("maxRecordsPerFile", max_rows_per_file)
+        w.parquet(out_dir)
+        if m is not None and m.get("stats_keys"):
+            self._harvest_stats(m, rel)
         return rel, out_dir
 
     def _written_buckets(self, out_dir: str) -> set[int]:
@@ -343,6 +372,280 @@ class TargetTable:
                 exprs.append(F.col(o["name"]).cast(f["type"]).alias(f["name"]))
         exprs += [F.col(m["seq_col"]), F.col("_op"), F.col("_ts")]
         return df.select(*exprs)
+
+    # ---------------- per-file column statistics (scan pruning) ----------------
+
+    def _resolve_stats_col(self, m: dict, name: str) -> str:
+        """User column name -> the schema-stable stats key the manifest
+        stores: key/seq columns keep their (immutable) names; payload
+        columns are keyed by FIELD ID ("f<id>") so a later rename never
+        detaches old files' statistics from the column."""
+        if name in m["key_cols"] or name == m["seq_col"]:
+            return name
+        for f in self.schema_fields(m):
+            if f["name"] == name:
+                if filestats.kind_of(f["type"]) is None:
+                    raise ValueError(
+                        f"stats unsupported for column {name!r} of type "
+                        f"{f['type']!r} (numeric/string only)"
+                    )
+                return f"f{f['id']}"
+        raise ValueError(f"unknown stats column {name!r}")
+
+    def _colkey(self, m: dict, name: str) -> str | None:
+        """Resolve a PREDICATE column to its stats key (None = no stats
+        tracked for it — the predicate still filters, it just can't
+        prune)."""
+        keys = m.get("stats_keys", ())
+        if (name in m["key_cols"] or name == m["seq_col"]) and name in keys:
+            return name
+        for f in self.schema_fields(m):
+            if f["name"] == name and f"f{f['id']}" in keys:
+                return f"f{f['id']}"
+        return None
+
+    def _stats_name_map(self, m: dict, schema_version: int) -> dict[str, tuple[str, str]]:
+        """For files written under ``schema_version``: parquet column name
+        as written -> (stats key, kind). Payload columns are matched by
+        field id across versions; a column whose written-era kind differs
+        from its current kind (exotic retype) is skipped — unprunable
+        beats unsound."""
+        keys = set(m.get("stats_keys", ()))
+        if not keys:
+            return {}
+        out: dict[str, tuple[str, str]] = {}
+        for k in m["key_cols"]:
+            if k in keys:
+                out[k] = (k, "str")
+        if m["seq_col"] in keys:
+            out[m["seq_col"]] = (m["seq_col"], "num")
+        cur_by_id = {f["id"]: f for f in self.schema_fields(m)}
+        for f in self.schema_fields(m, schema_version):
+            ck = f"f{f['id']}"
+            cur = cur_by_id.get(f["id"])
+            if ck not in keys or cur is None:
+                continue
+            kind_w, kind_c = filestats.kind_of(f["type"]), filestats.kind_of(cur["type"])
+            if kind_w is not None and kind_w == kind_c:
+                out[f["name"]] = (ck, kind_w)
+        return out
+
+    def _harvest_stats(self, m: dict, rel: str) -> None:
+        """Harvest per-file (min, max, null_count) from the parquet footers
+        of a just-written snapshot dir into ``m['stats']`` (keyed by the
+        same ``rel/bkt=N`` paths the bucket entries reference). Driver-side
+        metadata reads only — the parquet writer already computed the row
+        group statistics; see plans/filestats.py for the scale note."""
+        nmap = self._stats_name_map(m, m["current_schema"])
+        if not nmap:
+            return
+        out_dir = os.path.join(self.root, rel)
+        stats = m.setdefault("stats", {})
+        for d in self.io.list_dirs(out_dir):
+            if d.startswith("bkt="):
+                stats[f"{rel}/{d}"] = filestats.harvest_dir(
+                    os.path.join(out_dir, d), nmap
+                )
+
+    def set_stats_cols(self, cols: list[str], max_retries: int = 5) -> int:
+        """Enable (or change) statistics tracking on an existing table.
+        Future writes harvest automatically; call :meth:`analyze` to
+        backfill the files already on disk. Metadata-only commit."""
+        for _ in range(max_retries):
+            m = self._load()
+            m["stats_keys"] = [self._resolve_stats_col(m, c) for c in cols]
+            m["version"] += 1
+            m["history"].append(
+                {"at": time.time(), "snapshot": m["version"], "op": "set_stats_cols"}
+            )
+            try:
+                self._commit_manifest(m)
+                return m["version"]
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"set_stats_cols lost {max_retries} races")
+
+    def analyze(self, max_retries: int = 5) -> int | None:
+        """Backfill statistics for every live data dir that lacks them
+        (files written before stats were enabled, or under a schema whose
+        harvest was skipped). Footer reads only, no data rewrite. Returns
+        the committed version, or None if nothing was missing."""
+        for _ in range(max_retries):
+            m = self._load()
+            if not m.get("stats_keys"):
+                return None
+            stats = m.setdefault("stats", {})
+            missing = []
+            for e in m["buckets"].values():
+                for layer in [e] + list(e.get("deltas", ())):
+                    if layer["path"] not in stats:
+                        missing.append(layer)
+            if not missing:
+                return None
+            for layer in missing:
+                nmap = self._stats_name_map(m, layer["schema"])
+                stats[layer["path"]] = filestats.harvest_dir(
+                    os.path.join(self.root, layer["path"]), nmap
+                ) if nmap else []
+            m["version"] += 1
+            m["history"].append(
+                {"at": time.time(), "snapshot": m["version"], "op": "analyze",
+                 "dirs": len(missing)}
+            )
+            try:
+                self._commit_manifest(m)
+                return m["version"]
+            except CommitConflict:
+                continue
+        raise CommitConflict(f"analyze lost {max_retries} races")
+
+    def scan_plan(
+        self, preds: list[tuple[str, str, object]], m: dict | None = None
+    ) -> dict:
+        """Plan a statistics-pruned scan for a conjunction of simple
+        predicates ``(col, op, value)`` with ops ``= < <= > >= in``.
+
+        Pruning levels, each sound by construction:
+
+        - **bucket level** (COW and MoR): a bucket is skipped iff some
+          predicate provably matches no row in ANY of its layers' files —
+          every visible row (the per-key winner) is physically present in
+          some layer, so if no physical row can match, no winner can.
+        - **file level** (single-layer buckets only): COW state holds
+          exactly one physical row per key, so each visible row lives in
+          exactly one file and files prune independently. Multi-layer MoR
+          buckets must read ALL their layers (the winner rule compares
+          rows across layers), so they only prune as a whole.
+
+        Files/dirs without statistics are always read; the caller applies
+        the full residual filter regardless — stats are an optimization,
+        never a correctness dependency. Returns the layer lists plus
+        pruning counters (pinned by tests/test_stats_pruning.py)."""
+        m = m or self._load()
+        preds = filestats.validate_preds(preds)
+        resolved = [(self._colkey(m, c), op, v) for c, op, v in preds]
+        stats = m.get("stats", {})
+        plain: list[tuple[int, str]] = []    # (schema, file-or-dir rel path)
+        layered: list[tuple[int, str]] = []  # (schema, dir rel path)
+        n_bkts = n_bkts_read = n_files = n_files_read = 0
+
+        def file_match(st: dict) -> bool:
+            return all(
+                ck is None or filestats.may_match(st, ck, op, v)
+                for ck, op, v in resolved
+            )
+
+        for b, info in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
+            n_bkts += 1
+            layers = [info] + list(info.get("deltas", ()))
+            per_layer = [stats.get(layer["path"]) for layer in layers]
+            if len(layers) == 1:
+                fs = per_layer[0]
+                if fs is None:
+                    plain.append((info["schema"], info["path"]))
+                    n_bkts_read += 1
+                    continue
+                n_files += len(fs)
+                keep = [f for f in fs if file_match(f["st"])]
+                n_files_read += len(keep)
+                if keep:
+                    n_bkts_read += 1
+                    plain += [
+                        (info["schema"], f"{info['path']}/{f['f']}") for f in keep
+                    ]
+                continue
+            # multi-layer: merge bounds across every file of every layer
+            n_files += sum(len(fs) for fs in per_layer if fs is not None)
+            skip = False
+            for ck, op, v in resolved:
+                if ck is None:
+                    continue
+                if any(fs is None for fs in per_layer):
+                    break  # an unharvested layer makes the bucket unprunable
+                mn = mx = None
+                usable = True
+                for fs in per_layer:
+                    for f in fs:
+                        bounds = f["st"].get(ck)
+                        if bounds is None:
+                            usable = False
+                            break
+                        if bounds[0] is None:
+                            continue  # all-NULL file: contributes no range
+                        mn = bounds[0] if mn is None else min(mn, bounds[0])
+                        mx = bounds[1] if mx is None else max(mx, bounds[1])
+                    if not usable:
+                        break
+                if usable and not filestats.may_match(
+                    {ck: [mn, mx, 0]}, ck, op, v
+                ):
+                    skip = True
+                    break
+            if not skip:
+                n_bkts_read += 1
+                n_files_read += sum(len(fs) for fs in per_layer if fs is not None)
+                layered += [(layer["schema"], layer["path"]) for layer in layers]
+        return {
+            "plain": plain,
+            "layered": layered,
+            "buckets_total": n_bkts,
+            "buckets_read": n_bkts_read,
+            "files_total": n_files,
+            "files_read": n_files_read,
+        }
+
+    @staticmethod
+    def _pred_filter(preds: list[tuple[str, str, object]]):
+        cond = F.lit(True)
+        for c, op, v in filestats.validate_preds(preds):
+            col = F.col(c)
+            if op == "=":
+                cond = cond & (col == F.lit(v))
+            elif op == "in":
+                cond = cond & col.isin(*v)
+            elif op == "<":
+                cond = cond & (col < F.lit(v))
+            elif op == "<=":
+                cond = cond & (col <= F.lit(v))
+            elif op == ">":
+                cond = cond & (col > F.lit(v))
+            else:
+                cond = cond & (col >= F.lit(v))
+        return cond
+
+    def read_where(self, preds: list[tuple[str, str, object]]) -> DataFrame:
+        """Visible rows satisfying a conjunction of simple predicates,
+        scanning only the buckets/files whose footer statistics admit a
+        match (:meth:`scan_plan`). The predicate is ALSO applied as a
+        residual filter (and pushed into the surviving parquet scans by
+        Catalyst, so row-group pruning stacks on top of manifest pruning).
+
+        This is the 100 TB point of the whole statistics feature: a
+        selective predicate over a clustered column reads a handful of
+        files instead of the full table — the engine-level analogue of
+        Iceberg metadata pruning, sitting ABOVE parquet's own row-group
+        skipping (which still requires opening every footer; at 10^5+
+        files per table, the manifest prune is what keeps planning and
+        object-store round-trips bounded)."""
+        m = self._load()
+        plan = self.scan_plan(preds, m)
+        parts = []
+        p = self._grouped_read(m, plan["plain"])
+        if p is not None:
+            parts.append(p)
+        if plan["layered"]:
+            raw = self._grouped_read(m, plan["layered"])
+            cols = self.current_columns(m)
+            parts.append(
+                latest_by_key(raw.select(*cols), m["key_cols"], m["seq_col"])
+            )
+        if not parts:
+            df = self._empty_state(m)
+        else:
+            df = parts[0]
+            for q in parts[1:]:
+                df = df.unionByName(q)
+        return df.where((F.col("_op") != "D") & self._pred_filter(preds))
 
     # ---------------- schema evolution (M5) ----------------
 
@@ -806,7 +1109,7 @@ class TargetTable:
         )
 
         new_v = m["version"] + 1
-        rel, _ = self._write_snap_dir(merged, new_v)
+        rel, _ = self._write_snap_dir(merged, new_v, m)
 
         for b in touched:
             old_e = m["buckets"].get(str(b))
@@ -878,7 +1181,7 @@ class TargetTable:
             ).select(*cols, "bkt")
 
         new_v = m["version"] + 1
-        rel, out_dir = self._write_snap_dir(reduced, new_v)
+        rel, out_dir = self._write_snap_dir(reduced, new_v, m)
         written = self._written_buckets(out_dir)
         layer_schema = m["current_schema"]
         for b in touched:
@@ -949,7 +1252,7 @@ class TargetTable:
                 "bkt", _bucket_expr(bucket_cols, m["num_buckets"])
             )
             new_v = m["version"] + 1
-            rel, out_dir = self._write_snap_dir(out, new_v)
+            rel, out_dir = self._write_snap_dir(out, new_v, m)
             written = self._written_buckets(out_dir)
             for b in ids:
                 if b in written:
@@ -989,7 +1292,7 @@ class TargetTable:
         cols = self.current_columns(m)
         out = df.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
-        rel, out_dir = self._write_snap_dir(out.repartition(B, F.col("bkt")), new_v)
+        rel, out_dir = self._write_snap_dir(out.repartition(B, F.col("bkt")), new_v, m)
         written = self._written_buckets(out_dir)
         for b in written:
             m["buckets"][str(b)] = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
@@ -1112,7 +1415,7 @@ class TargetTable:
         )
         new_v = m["version"] + 1
         rel, out_dir = self._write_snap_dir(
-            out.repartition(new_num_buckets, F.col("bkt")), new_v
+            out.repartition(new_num_buckets, F.col("bkt")), new_v, m
         )
         written = self._written_buckets(out_dir)
         m["buckets"] = {
@@ -1129,7 +1432,11 @@ class TargetTable:
         return new_v
 
     def rewrite_data_files(
-        self, bucket_ids: list[int] | None = None, stale_after: int = 8
+        self,
+        bucket_ids: list[int] | None = None,
+        stale_after: int = 8,
+        sort_by: list[str] | None = None,
+        max_rows_per_file: int | None = None,
     ) -> int | None:
         """Maintenance: Iceberg ``rewrite_data_files`` analogue — physically
         rewrite live bucket files into a fresh snapshot dir at the CURRENT
@@ -1155,7 +1462,21 @@ class TargetTable:
         may drop them). Commits through the CAS protocol; on
         :class:`CommitConflict` (a racing merge won the version) simply call
         again — compaction has no work to lose. Returns the new snapshot
-        version, or None if nothing qualified."""
+        version, or None if nothing qualified.
+
+        ``sort_by`` + ``max_rows_per_file`` turn the rewrite into a
+        CLUSTERING pass: rows are sorted within each bucket on the given
+        columns and split into bounded files, so per-file statistics get
+        tight disjoint ranges on the sort columns and
+        :meth:`read_where`/:meth:`scan_plan` can skip most files of even a
+        hot bucket (Iceberg's sort-order rewrite). Still zero-shuffle —
+        ``sortWithinPartitions`` keeps the bucket-pure task layout; the
+        sort leads with ``bkt`` so multi-bucket tasks never interleave
+        buckets across the partitionBy write."""
+        if sort_by and bucket_ids is None and stale_after > 0:
+            # a clustering pass explicitly asked for should not silently
+            # skip "fresh" buckets — cluster everything unless scoped
+            bucket_ids = sorted(int(b) for b in self._load()["buckets"])
         m = self._load()
         cur_schema = m["current_schema"]
         v = m["version"]
@@ -1177,8 +1498,16 @@ class TargetTable:
         out = self._state_df(m, bucket_ids).withColumn(
             "bkt", _bucket_expr(bucket_cols, m["num_buckets"])
         )
+        if sort_by:
+            cols_now = set(self.current_columns(m))
+            bad = [c for c in sort_by if c not in cols_now]
+            if bad:
+                raise ValueError(f"sort_by columns not in table: {bad}")
+            out = out.sortWithinPartitions("bkt", *sort_by)
         new_v = v + 1
-        rel, out_dir = self._write_snap_dir(out, new_v)
+        rel, out_dir = self._write_snap_dir(
+            out, new_v, m, max_rows_per_file=max_rows_per_file
+        )
         written = self._written_buckets(out_dir)
         for b in bucket_ids:
             if b in written:
@@ -1275,7 +1604,7 @@ class TargetTable:
         keep = self._state_df(m, touched).where(~eligible)
         out = keep.select(*cols).withColumn("bkt", _bucket_expr(bucket_cols, B))
         new_v = m["version"] + 1
-        rel, out_dir = self._write_snap_dir(out, new_v)
+        rel, out_dir = self._write_snap_dir(out, new_v, m)
         written = self._written_buckets(out_dir)
         for b in touched:
             if b in written:
