@@ -1133,6 +1133,31 @@ def q_scd2_history(spark, sf_dir):
     )
 
 
+def q_incremental_mv_count_distinct(spark, sf_dir):
+    """Exact COUNT(DISTINCT user) maintenance (plans/distinct_mv.py): the
+    classic non-self-maintainable aggregate, kept exact under the flagship
+    stream's deletes/updates via the counting algorithm — an auxiliary
+    (group, value)->multiplicity table absorbs the changelog additively and
+    only 0<->positive transitions reach the visible aggregate. Folded in two
+    genuine increments (mid, head) so the second fold must retract; oracle =
+    plain COUNT(DISTINCT) over the full-replay SQL twin."""
+    from data_ingestor_py_spark.plans.distinct_mv import IncrementalDistinct
+
+    table = TargetTable(spark, _flagship_root(spark, sf_dir))
+    dx_args = dict(group_cols=["lang"], value_col="repo")
+    key = ("dxmv", sf_dir)
+    if key not in _REPLAY_CACHE:
+        droot = tempfile.mkdtemp(prefix="ingestor-dx-")
+        os.rmdir(droot)
+        dx = IncrementalDistinct.create(spark, droot, table, **dx_args)
+        cur = table._load()["version"]
+        for v in sorted({(cur + 1) // 2, cur}):
+            dx.refresh(upto_version=v)
+        _REPLAY_CACHE[key] = droot
+    dx = IncrementalDistinct(spark, _REPLAY_CACHE[key], table, **dx_args)
+    return dx.read().select("lang", "n_distinct")
+
+
 def q_incremental_join_enrich(spark, sf_dir):
     """Delta-maintained JOIN view (plans/join_mv.py): the flagship fact
     table left-join-enriched with a CDC-replayed customer dimension,
@@ -1251,6 +1276,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_schema_evolution": q_debezium_schema_evolution,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
+        "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
         "incremental_join_enrich": q_incremental_join_enrich,
         "scd2_history": q_scd2_history,
         # no driver row in round 4 (rotated back into the window):
@@ -2051,6 +2077,13 @@ def oracle_sql() -> dict[str, str]:
         # delta-maintained join view == one LEFT JOIN of both FINAL
         # states: dim final = v1-prefixed names, every 3rd renamed back,
         # every 5th deleted (the q builds exactly that CDC sequence)
+        # exact COUNT DISTINCT under deletes via the counting algorithm;
+        # CAST: DuckDB count() is HUGEINT -> float via pandas (r3 lesson)
+        "incremental_mv_count_distinct": (
+            f"SELECT event_type AS lang, "
+            f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' GROUP BY 1"
+        ),
         "incremental_join_enrich": (
             f"WITH dim AS (SELECT c_custkey, "
             f"CASE WHEN c_custkey % 3 = 0 THEN c_name "
