@@ -1546,6 +1546,81 @@ class TargetTable:
         agg = df.agg(F.sum(row_hash).alias("s"), F.count("*").alias("n")).collect()[0]
         return f"{agg['n']}:{agg['s']}"
 
+    def delete_where(
+        self,
+        preds: list[tuple[str, str, object]],
+        seq: int | None = None,
+        app_meta: dict | None = None,
+    ) -> MergeStats:
+        """Engine-generated row deletion (retention / TTL / GDPR erasure):
+        delete every currently-visible row matching a conjunction of simple
+        predicates ``(col, op, value)``.
+
+        Victims come from the statistics-pruned scan (:meth:`read_where` —
+        at 100 TB a retention predicate over a clustered column reads only
+        the files whose footer bounds admit a match), are stamped as
+        tombstones with ALL payload columns NULL (the delete record itself
+        must not re-persist the content being erased), and flow through the
+        NORMAL merge path — so the atomic manifest commit, MoR delta
+        layers, conflict retry, changelog old-images
+        (:meth:`diff_versions`), and every downstream incremental consumer
+        (MV / join view / distinct MV / SCD2) behave exactly as for a
+        source-delivered delete; no consumer needs a special case.
+        Re-running the same delete is a no-op (the victims are no longer
+        visible, so the victim scan is empty).
+
+        ``seq`` is the sequence number stamped on the tombstones. It must
+        strictly exceed every victim's current sequence or the tombstone
+        would lose the per-key max-seq winner rule (enforced — a stale
+        caller value raises instead of silently half-applying). Default:
+        ``max(victim seq) + 1``, one extra aggregate over the already-
+        pruned victim scan. Callers interleaving engine deletes with a
+        live replay should pass their replay high-water mark so the delete
+        is totally ordered within the stream — a later source event with a
+        higher seq for the same key legitimately resurrects it (standard
+        CDC semantics), and on an exact seq tie the source event's
+        non-NULL payload wins the struct tie-break over the NULL-payload
+        tombstone.
+
+        Logical deletion is immediate; PHYSICAL erasure of the old copies
+        additionally needs the snapshots that still hold the data removed:
+        follow with :meth:`expire_snapshots` (drops the pre-delete data
+        files) and, once the source watermark passes ``seq``,
+        :meth:`purge_tombstones` (drops the tombstones themselves).
+
+        Reference parity: the reference has no delete path at all (its
+        sink is INSERT/UPDATE only, db/postgres_query_builder.py); this is
+        part of the lake-maintenance surface a CDC target needs."""
+        m = self._load()
+        seq_col = m["seq_col"]
+        victims = self.read_where(preds)
+        if seq is None:
+            mx = victims.agg(F.max(seq_col).alias("mx")).collect()[0]["mx"]
+            if mx is None:
+                return MergeStats(0, 0, 0, m["version"], [])
+            seq = int(mx) + 1
+        else:
+            seq = int(seq)
+            stale = victims.where(F.col(seq_col) >= seq).limit(1).count()
+            if stale:
+                raise ValueError(
+                    f"delete_where seq={seq} does not exceed every victim's "
+                    f"current {seq_col} — the tombstones would lose the "
+                    "per-key winner rule; pass a seq beyond the replay "
+                    "high-water mark (or omit it)"
+                )
+        tombstones = victims.select(
+            *[F.col(c) for c in m["key_cols"]],
+            *[
+                F.lit(None).cast(f["type"]).alias(f["name"])
+                for f in self.schema_fields(m)
+            ],
+            F.lit(seq).cast("long").alias(seq_col),
+            F.lit("D").alias("_op"),
+            F.current_timestamp().alias("_ts"),
+        )
+        return self.merge_apply(tombstones, app_meta=app_meta)
+
     def purge_tombstones(self, older_than_seq: int) -> int:
         """Maintenance: rewrite buckets dropping delete tombstones with
         ``_seq < older_than_seq`` (safe once the source guarantees no events
