@@ -61,6 +61,10 @@ HEADLINE = [
     "incremental_mv_minmax",  # added r5: targeted-recompute MIN/MAX MV
     "debezium_schema_evolution",  # added r5: wire-driven DDL -> evolve()
     "incremental_join_enrich",  # added r5: delta-maintained join view
+    "cdc_merge_mor_replay",  # added r5: merge-on-read flagship (delta layers)
+    "stats_pruned_scan",  # added r5: manifest-level file pruning
+    "incremental_mv_count_distinct",  # added r5: counting-algorithm MV
+    "retention_delete",  # added r5: engine delete_where + pruned victim scan
 ]
 
 

@@ -22,6 +22,27 @@ import shutil
 import time
 
 
+def _parse_pred(s: str) -> tuple[str, str, object]:
+    """'lang=go' / 'value<5.0' / 'n>=10' -> (col, op, typed value).
+    Two-char ops first so 'a<=b' does not parse as '<'."""
+    for op in ("<=", ">=", "=", "<", ">"):
+        if op in s:
+            col, _, raw = s.partition(op)
+            if not col or not raw:
+                break
+            v: object = raw
+            try:
+                v = int(raw)
+            except ValueError:
+                try:
+                    v = float(raw)
+                except ValueError:
+                    pass
+            return (col, op, v)
+    raise SystemExit(f"--delete-where: cannot parse predicate {s!r} "
+                     "(expected COL<OP>VALUE with op in = < <= > >=)")
+
+
 def _add_common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--cores", type=int, default=None, help="local[N] cores (default: all)")
     p.add_argument("--target", required=True, help="target table root directory")
@@ -93,6 +114,17 @@ def main(argv: list[str] | None = None) -> int:
     mnt.add_argument("--tag", default=None, help="pin the current (or --tag-version) snapshot")
     mnt.add_argument("--tag-version", type=int, default=None)
     mnt.add_argument("--drop-tag", default=None)
+    mnt.add_argument("--delete-where", action="append", default=[],
+                     metavar="COL<OP>VALUE",
+                     help="retention/erasure delete: predicate like "
+                          "'lang=go' or 'value<5.0' (repeat for AND; ops "
+                          "= < <= > >=); runs before expiry so one "
+                          "invocation completes logical+physical erasure")
+    mnt.add_argument("--delete-seq", type=int, default=None,
+                     help="sequence stamped on the delete tombstones "
+                          "(default: past every victim's current seq); pass "
+                          "the replay high-water mark when interleaving "
+                          "with a live stream")
 
     ex = sub.add_parser(
         "export-changelog", help="publish a snapshot range as Debezium JSON-lines"
@@ -120,6 +152,12 @@ def main(argv: list[str] | None = None) -> int:
         if args.drop_tag:
             t.drop_tag(args.drop_tag)
             out["dropped_tag"] = args.drop_tag
+        if args.delete_where:
+            st = t.delete_where(
+                [_parse_pred(p) for p in args.delete_where], seq=args.delete_seq
+            )
+            out["deleted_rows"] = st.rows_in
+            out["delete_snapshot"] = st.snapshot_version
         if args.rewrite_data_files:
             out["rewrite_snapshot"] = t.rewrite_data_files(stale_after=args.stale_after)
         if args.compact_deltas:
