@@ -41,6 +41,12 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _mk(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    os.rmdir(d)
+    return d
+
+
 def _events_cdc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver's events table as a CDC stream keyed by (user_id, k):
     'error' events are deletes, everything else upserts (generalizes the
@@ -1005,6 +1011,103 @@ def q_debezium_schema_evolution(spark, sf_dir):
     return t.read().select("repo", "path", "value", "lang")
 
 
+def q_multi_table_routing(spark, sf_dir):
+    """Multi-table CDC fan-out (plans/router.py): ONE Debezium wire stream
+    interleaving two tables' change events — the events table as a
+    c/u/d binlog and the customer table as snapshot reads — routed by
+    ``source.table`` to two TargetTables with a single coordinated
+    checkpoint, merges submitted concurrently, junk lines quarantined.
+    Output = the union of both final states; oracle = each table's
+    latest-per-key fold in SQL. The whole-database tail a real Debezium
+    connector produces, vs the reference's one-pipeline-per-table wiring
+    (fileprocesser/processor.py)."""
+    from data_ingestor_py_spark.plans.router import DebeziumRouter, TableRoute
+    from data_ingestor_py_spark.sources.debezium import to_debezium_json
+
+    key = ("router", sf_dir)
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events")
+        is_del = F.col("event_type") == "error"
+        op = (
+            F.when(is_del, F.lit("d"))
+            .when(F.pmod(F.col("event_id"), F.lit(3)) == 0, F.lit("c"))
+            .otherwise(F.lit("u"))
+        )
+        row = F.struct(
+            F.col("user_id").cast("string").alias("repo"),
+            F.regexp_extract("props", K_RE, 1).cast("long").cast("string").alias("path"),
+            F.col("value"),
+        )
+        env_ev = ev.select(
+            to_debezium_json(
+                row, op, F.unix_millis(F.col("ts").cast("timestamp")),
+                F.col("event_id"), table_name="events_cdc",
+            ).alias("value")
+        )
+        cu = _t(spark, sf_dir, "customer")
+        env_cu = cu.select(
+            to_debezium_json(
+                F.struct(
+                    F.col("c_custkey").cast("string").alias("id"),
+                    F.col("c_name").alias("name"),
+                    F.col("c_acctbal").alias("bal"),
+                ),
+                F.lit("r"), F.col("c_custkey"), F.col("c_custkey"),
+                table_name="customer_snap",
+            ).alias("value")
+        )
+        junk = spark.createDataFrame(
+            [("not json",),
+             ('{"op":"c","after":{"x":1},"ts_ms":1,"source":{"lsn":1,"table":"other"}}',)],
+            "value string",
+        )
+        wire = tempfile.mkdtemp(prefix="ingestor-router-wire-")
+        env_ev.unionByName(env_cu).unionByName(junk).write.mode(
+            "overwrite"
+        ).text(wire)
+        ta = TargetTable.create(
+            spark, _mk("ingestor-router-a-"), key_cols=["repo", "path"],
+            columns=[("value", "double")], num_buckets=16,
+        )
+        tb = TargetTable.create(
+            spark, _mk("ingestor-router-b-"), key_cols=["id"],
+            columns=[("name", "string"), ("bal", "double")], num_buckets=8,
+        )
+        router = DebeziumRouter(
+            spark, _mk("ingestor-router-cp-"),
+            [
+                TableRoute("events_cdc",
+                           [("repo", "string"), ("path", "string"), ("value", "double")],
+                           ta),
+                TableRoute("customer_snap",
+                           [("id", "string"), ("name", "string"), ("bal", "double")],
+                           tb),
+            ],
+            dead_letter_dir=tempfile.mkdtemp(prefix="ingestor-router-dl-"),
+            max_parallel_tables=2,
+        )
+        router.replay([spark.read.text(wire)])
+        _REPLAY_CACHE[key] = (ta.root, tb.root)
+    a_root, b_root = _REPLAY_CACHE[key]
+    a = TargetTable(spark, a_root).read().select(
+        F.lit("events_cdc").alias("tbl"),
+        F.col("repo").cast("long").alias("k1"),
+        F.col("path").cast("long").alias("k2"),
+        F.lit(None).cast("string").alias("name"),
+        F.col("value").alias("metric"),
+        F.col("_seq").alias("last_seq"),
+    )
+    b = TargetTable(spark, b_root).read().select(
+        F.lit("customer_snap").alias("tbl"),
+        F.col("id").cast("long").alias("k1"),
+        F.lit(None).cast("long").alias("k2"),
+        F.col("name"),
+        F.col("bal").alias("metric"),
+        F.col("_seq").alias("last_seq"),
+    )
+    return a.unionByName(b)
+
+
 def q_incremental_mv_lang_counts(spark, sf_dir):
     """Delta-maintained materialized aggregate (plans/mv.py) over the
     flagship table: folded snapshot-by-snapshot (each fold reads only the
@@ -1309,6 +1412,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bigram_lm_fluency": q_bigram_lm,
         "debezium_roundtrip": q_debezium_roundtrip,
         "debezium_schema_evolution": q_debezium_schema_evolution,
+        "multi_table_routing": q_multi_table_routing,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
@@ -2102,6 +2206,19 @@ def oracle_sql() -> dict[str, str]:
             f"CAST(k AS VARCHAR) AS path, value, "
             f"CASE WHEN event_id > (SELECT mid FROM m) THEN event_type END AS lang "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # multi-table fan-out == each table's latest-per-key fold; the
+        # events route shares the flagship's CDC rule, the customer route
+        # is a snapshot read ('r' ops, one per key)
+        "multi_table_routing": (
+            f"SELECT 'events_cdc' AS tbl, user_id AS k1, k AS k2, "
+            f"CAST(NULL AS VARCHAR) AS name, value AS metric, "
+            f"event_id AS last_seq "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
+            f"UNION ALL "
+            f"SELECT 'customer_snap' AS tbl, c_custkey AS k1, "
+            f"CAST(NULL AS BIGINT) AS k2, c_name AS name, "
+            f"c_acctbal AS metric, c_custkey AS last_seq FROM customer"
         ),
         # min/max MV == plain GROUP BY extremes over the replayed state
         # (min/max are selections, not arithmetic, so double is hash-exact)

@@ -69,3 +69,32 @@ def stream_debezium_replay(
         table.merge_apply(batch, salt_buckets=salt_buckets, stats="light")
 
     return start_foreach_stream(stream, apply_epoch, checkpoint_dir, available_now)
+
+
+def stream_debezium_router(
+    spark: SparkSession,
+    events_dir: str,
+    router,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int | None = None,
+    available_now: bool = True,
+):
+    """Tail ONE envelope directory carrying changes for MANY tables and fan
+    each micro-batch out through a :class:`plans.router.DebeziumRouter` —
+    the whole-database tail a real Debezium connector produces.
+
+    Spark's stream checkpoint is the epoch coordinator here (the router's
+    own coordinated checkpoint serves the batch driver); at-least-once
+    epoch re-delivery converges because every per-table merge is an
+    idempotent max-seq upsert and the router's quarantine write is a
+    per-batch overwrite — the same argument as stream_debezium_replay,
+    applied across N tables at once."""
+    reader = spark.readStream
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.text(events_dir)
+
+    def apply_epoch(df: DataFrame, epoch_id: int) -> None:
+        router.fan_out(df, epoch_id, persist=True)
+
+    return start_foreach_stream(stream, apply_epoch, checkpoint_dir, available_now)
