@@ -1108,6 +1108,45 @@ def q_multi_table_routing(spark, sf_dir):
     return a.unionByName(b)
 
 
+def q_expectations_quality(spark, sf_dir):
+    """Declarative data-quality expectations (plans/expectations.py):
+    three rules with distinct actions over the events table — drop
+    (value < 100), quarantine (event_type <> 'error'), warn
+    (user_id < 40) — evaluated in ONE codegen pass; violation counts
+    ride a CollectMetrics observation on the batch's consuming action
+    (no separate counting job). Output = per-rule violation counts plus
+    the retained-row count; oracle = the same NOT-coalesce(pred,false)
+    arithmetic as filtered COUNTs in SQL. DLT-expectations shape; the
+    reference's analogue is imperative per-record try/except logging
+    (fileprocesser/file_processor.py)."""
+    from data_ingestor_py_spark.plans.expectations import (
+        Expectation,
+        ExpectationSet,
+    )
+
+    rules = ExpectationSet(
+        [
+            Expectation("value_small", "value < 100", "drop"),
+            Expectation("not_error", "event_type <> 'error'", "quarantine"),
+            Expectation("user_low", "user_id < 40", "warn"),
+        ]
+    )
+    clean, obs = rules.apply(
+        _t(spark, sf_dir, "events"),
+        quarantine_dir=_mk("ingestor-expect-q-"),
+        batch_id=0,
+    )
+    retained = clean.count()
+    q = rules.quality(obs, rows_retained=retained)
+    rows = [
+        (e.name, e.action, int(q.violations[e.name]))
+        for e in rules.expectations
+    ] + [("_retained", "summary", int(retained))]
+    return spark.createDataFrame(
+        rows, "expectation string, action string, violations long"
+    )
+
+
 def q_incremental_mv_lang_counts(spark, sf_dir):
     """Delta-maintained materialized aggregate (plans/mv.py) over the
     flagship table: folded snapshot-by-snapshot (each fold reads only the
@@ -1376,7 +1415,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 64 gates are still value-checked locally every round by
+    # All 71 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1390,7 +1429,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_salted_latest": q_dedup_salted_latest,
         "mapping_projection": q_mapping_projection,
         "flatten_explode_tokens": q_flatten_explode_tokens,
-        "broadcast_dict_join": q_broadcast_dict_join,
         "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -1401,7 +1439,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "token_count_regex": q_token_count_regex,
-        "vectorized_normalize": q_vectorized_normalize,
         "neardup_clusters": q_neardup_clusters,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "stratified_sample_langs": q_stratified_sample_langs,
@@ -1413,6 +1450,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_roundtrip": q_debezium_roundtrip,
         "debezium_schema_evolution": q_debezium_schema_evolution,
         "multi_table_routing": q_multi_table_routing,
+        "expectations_quality": q_expectations_quality,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
@@ -1435,6 +1473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "broadcast_dict_join": q_broadcast_dict_join,
+        "vectorized_normalize": q_vectorized_normalize,
         "vocab_top100": q_vocab_top100,
         "groupby_argmax_mode": q_groupby_argmax_mode,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -2219,6 +2259,23 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT 'customer_snap' AS tbl, c_custkey AS k1, "
             f"CAST(NULL AS BIGINT) AS k2, c_name AS name, "
             f"c_acctbal AS metric, c_custkey AS last_seq FROM customer"
+        ),
+        # expectation violations == filtered COUNTs with the engine's
+        # NULL-is-violation rule (NOT coalesce(pred, false)); retained ==
+        # rows passing every drop/quarantine rule (warn rules keep rows)
+        "expectations_quality": (
+            "SELECT 'value_small' AS expectation, 'drop' AS action, "
+            "COUNT(*) FILTER (WHERE NOT coalesce(value < 100, false)) "
+            "AS violations FROM events "
+            "UNION ALL SELECT 'not_error', 'quarantine', "
+            "COUNT(*) FILTER (WHERE NOT coalesce(event_type <> 'error', false)) "
+            "FROM events "
+            "UNION ALL SELECT 'user_low', 'warn', "
+            "COUNT(*) FILTER (WHERE NOT coalesce(user_id < 40, false)) "
+            "FROM events "
+            "UNION ALL SELECT '_retained', 'summary', "
+            "COUNT(*) FILTER (WHERE coalesce(value < 100, false) "
+            "AND coalesce(event_type <> 'error', false)) FROM events"
         ),
         # min/max MV == plain GROUP BY extremes over the replayed state
         # (min/max are selections, not arithmetic, so double is hash-exact)

@@ -65,6 +65,8 @@ HEADLINE = [
     "stats_pruned_scan",  # added r5: manifest-level file pruning
     "incremental_mv_count_distinct",  # added r5: counting-algorithm MV
     "retention_delete",  # added r5: engine delete_where + pruned victim scan
+    "multi_table_routing",  # added r5: one-stream -> N-table fan-out router
+    "expectations_quality",  # added r5: declarative DQ rules, observe-riding
 ]
 
 
