@@ -1147,6 +1147,121 @@ def q_expectations_quality(spark, sf_dir):
     )
 
 
+_BM25_QUERIES = {
+    "q1": ["merge", "scan", "join"],
+    "q2": ["vector", "hash"],
+    "q3": ["customer", "order", "line", "slow"],
+}
+
+
+def _bm25_sql(base_sql: str, queries: dict, k: int) -> str:
+    """DuckDB twin of functions/retrieval.bm25_topk(idf='sqrt'): every
+    float op mirrors the Spark expression tree exactly (integer arithmetic,
+    one divide per factor, one sqrt, idf*(num/den) product order, and a
+    term-ordered left fold — list_reduce == F.aggregate(0.0+..) because
+    0.0+c1 == c1 for positive doubles)."""
+    vals = ", ".join(
+        f"('{q}', '{t}')"
+        for q, ts in sorted(queries.items())
+        for t in sorted(set(ts))
+    )
+    return (
+        f"WITH base AS ({base_sql}), "
+        f"tok AS (SELECT doc_id, {TOKS_SQL} AS ts FROM base), "
+        f"s AS (SELECT count(*) AS n, sum(len(ts)) AS L FROM tok), "
+        f"tf AS (SELECT doc_id, term, count(*) AS tf FROM "
+        f"(SELECT doc_id, unnest(ts) AS term FROM tok) GROUP BY doc_id, term), "
+        f"dl AS (SELECT doc_id, len(ts) AS dl FROM tok), "
+        f"dfq AS (SELECT term, count(*) AS df FROM "
+        f"(SELECT DISTINCT doc_id, term FROM tf) t GROUP BY term), "
+        f"q(query_id, term) AS (VALUES {vals}), "
+        f"c AS (SELECT q.query_id, tf.doc_id, tf.term, "
+        f"sqrt(CAST(2*s.n - 2*dfq.df + 1 AS DOUBLE) / CAST(2*dfq.df + 1 AS DOUBLE)) "
+        f"* (CAST(22*tf.tf*s.L AS DOUBLE) / "
+        f"CAST(10*tf.tf*s.L + 3*s.L + 9*dl.dl*s.n AS DOUBLE)) AS c "
+        f"FROM q JOIN tf USING (term) JOIN dfq USING (term) "
+        f"JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN s), "
+        f"f AS (SELECT query_id, doc_id, "
+        f"list_reduce(list(c ORDER BY term), (a, x) -> a + x) AS score, "
+        f"count(*) AS n_terms_hit FROM c GROUP BY query_id, doc_id) "
+        f"SELECT query_id, doc_id, rank, score, n_terms_hit FROM ("
+        f"SELECT f.*, row_number() OVER (PARTITION BY query_id "
+        f"ORDER BY score DESC, doc_id) AS rank FROM f) WHERE rank <= {k}"
+    )
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 ranked retrieval (functions/retrieval.py): top-10 documents
+    per query, portable sqrt-idf flavor (every scoring op is a correctly-
+    rounded IEEE op, so the DuckDB twin is bit-exact — ln idf carries no
+    cross-libm guarantee and is the production default only). Plan:
+    broadcast query terms into the postings join (only rows containing a
+    query term are scored), term-ordered fold for deterministic float
+    summation, WindowGroupLimit top-k. No reference analogue — the
+    LLM-pipeline retrieval operator."""
+    from data_ingestor_py_spark.functions.retrieval import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, _BM25_QUERIES, k=10, idf="sqrt")
+
+
+def q_bm25_incremental_index(spark, sf_dir):
+    """BM25 against an incrementally-MAINTAINED inverted index
+    (functions/retrieval.IncrementalIndex over plans/mv.py's new
+    row_transform hook): document CDC — full corpus, then an update batch
+    (doc_id%7 gains ' zebraterm zebraterm') and deletes (doc_id%13) —
+    folds per-term df deltas and corpus totals from the changelog (an
+    update's unchanged terms cancel between the −1 old image and the +1
+    new image; deletes decrement df). Scoring uses ONLY the maintained
+    df/N/L — the oracle recomputes them from the emulated final state, so
+    any drift in the maintained statistics shifts every score and breaks
+    the hash."""
+    from data_ingestor_py_spark.functions.retrieval import (
+        IncrementalIndex,
+        bm25_topk,
+    )
+
+    key = ("bm25idx", sf_dir)
+    if key not in _REPLAY_CACHE:
+        docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+        t = TargetTable.create(
+            spark, _mk("ingestor-bm25-t-"),
+            key_cols=["doc_id"], columns=[("text", "string")], num_buckets=8,
+        )
+        idx = IncrementalIndex.create(spark, _mk("ingestor-bm25-i-"), t)
+        nil_ts = F.lit(None).cast("timestamp").alias("_ts")
+        b1 = docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"), "text",
+            F.col("doc_id").alias("_seq"), F.lit("U").alias("_op"), nil_ts,
+        )
+        t.merge_apply(b1, stats="light")
+        idx.refresh()
+        d = F.col("doc_id")
+        upd = docs.where((d % 7 == 0) & (d % 13 != 0)).select(
+            d.cast("string").alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zebraterm zebraterm")).alias("text"),
+            (d + 1_000_000).alias("_seq"), F.lit("U").alias("_op"), nil_ts,
+        )
+        dele = docs.where(d % 13 == 0).select(
+            d.cast("string").alias("doc_id"),
+            F.lit(None).cast("string").alias("text"),
+            (d + 1_000_000).alias("_seq"), F.lit("D").alias("_op"), nil_ts,
+        )
+        t.merge_apply(upd.unionByName(dele), stats="light")
+        idx.refresh()
+        _REPLAY_CACHE[key] = (t.root, idx.root)
+    troot, iroot = _REPLAY_CACHE[key]
+    t = TargetTable(spark, troot)
+    idx = IncrementalIndex(spark, iroot, t)
+    live = t.read().select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    return bm25_topk(
+        live, _BM25_QUERIES, k=10, idf="sqrt",
+        dfreq=idx.dfreq(), totals=idx.totals(),
+    )
+
+
 def q_incremental_mv_lang_counts(spark, sf_dir):
     """Delta-maintained materialized aggregate (plans/mv.py) over the
     flagship table: folded snapshot-by-snapshot (each fold reads only the
@@ -1415,7 +1530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 71 gates are still value-checked locally every round by
+    # All 73 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1427,8 +1542,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_changes_between": q_cdc_changes_between,
         "dedup_latest_by_key": q_dedup_latest_by_key,
         "dedup_salted_latest": q_dedup_salted_latest,
-        "mapping_projection": q_mapping_projection,
-        "flatten_explode_tokens": q_flatten_explode_tokens,
         "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -1451,6 +1564,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "debezium_schema_evolution": q_debezium_schema_evolution,
         "multi_table_routing": q_multi_table_routing,
         "expectations_quality": q_expectations_quality,
+        "bm25_topk": q_bm25_topk,
+        "bm25_incremental_index": q_bm25_incremental_index,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
@@ -1473,6 +1588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "mapping_projection": q_mapping_projection,
+        "flatten_explode_tokens": q_flatten_explode_tokens,
         "broadcast_dict_join": q_broadcast_dict_join,
         "vectorized_normalize": q_vectorized_normalize,
         "vocab_top100": q_vocab_top100,
@@ -2276,6 +2393,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION ALL SELECT '_retained', 'summary', "
             "COUNT(*) FILTER (WHERE coalesce(value < 100, false) "
             "AND coalesce(event_type <> 'error', false)) FROM events"
+        ),
+        # BM25 sqrt flavor: every float op correctly rounded and mirrored
+        # (_bm25_sql docstring); static corpus
+        "bm25_topk": _bm25_sql(
+            "SELECT doc_id, text FROM documents", _BM25_QUERIES, 10
+        ),
+        # maintained-index scoring == recompute over the emulated final
+        # CDC state (updates append zebraterm, deletes drop doc_id%13)
+        "bm25_incremental_index": _bm25_sql(
+            "SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+            "THEN text || ' zebraterm zebraterm' ELSE text END AS text "
+            "FROM documents WHERE doc_id % 13 <> 0",
+            _BM25_QUERIES, 10,
         ),
         # min/max MV == plain GROUP BY extremes over the replayed state
         # (min/max are selections, not arithmetic, so double is hash-exact)

@@ -67,6 +67,8 @@ HEADLINE = [
     "retention_delete",  # added r5: engine delete_where + pruned victim scan
     "multi_table_routing",  # added r5: one-stream -> N-table fan-out router
     "expectations_quality",  # added r5: declarative DQ rules, observe-riding
+    "bm25_topk",  # added r5: BM25 retrieval, broadcast-query postings join
+    "bm25_incremental_index",  # added r5: maintained inverted-index scoring
 ]
 
 

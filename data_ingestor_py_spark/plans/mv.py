@@ -75,6 +75,7 @@ class IncrementalAggregate:
         min_cols: list[tuple[str, str, str]] | None = None,
         max_cols: list[tuple[str, str, str]] | None = None,
         storage: StorageAdapter | None = None,
+        row_transform=None,
     ):
         self.spark = spark
         self.source = source
@@ -82,6 +83,15 @@ class IncrementalAggregate:
         self.sum_cols = list(sum_cols or [])
         self.min_cols = list(min_cols or [])
         self.max_cols = list(max_cols or [])
+        # row_transform(df) -> df: a DETERMINISTIC per-row mapping of source
+        # images to the rows actually aggregated — may change cardinality
+        # (explode a text column to terms, unnest an array) and synthesize
+        # the group/value columns. Retraction stays exact because the SAME
+        # transform runs on the old image (its rows fold with sign -1) and
+        # the new image (+1): an update's unchanged exploded rows cancel.
+        # This is what turns the COUNT/SUM machinery into e.g. an
+        # incrementally-maintained inverted-index document-frequency table.
+        self.row_transform = row_transform
         self.table = TargetTable(spark, root, storage=storage)
         self.cp = Checkpoint(spark, root, storage=self.table.io)
 
@@ -112,6 +122,7 @@ class IncrementalAggregate:
         max_cols: list[tuple[str, str, str]] | None = None,
         num_buckets: int = 4,
         storage: StorageAdapter | None = None,
+        row_transform=None,
     ) -> "IncrementalAggregate":
         cols = [("n_rows", "long")] + [(n, "long") for n, _ in (sum_cols or [])]
         cols += [(n, t) for n, _, t in (min_cols or [])]
@@ -122,7 +133,7 @@ class IncrementalAggregate:
         )
         return cls(
             spark, root, source, group_cols, sum_cols, min_cols, max_cols,
-            storage=storage,
+            storage=storage, row_transform=row_transform,
         )
 
     # ---------------- state ----------------
@@ -235,25 +246,46 @@ class IncrementalAggregate:
                 F.col("_change_type") != ("I" if old else "D")
             )
             nil = F.lit(None)
+            if self.row_transform is not None:
+                # reconstruct the full image as natural rows, transform it
+                # (may explode), then project the group/value columns the
+                # transform produced — img_col is already resolved here, so
+                # the projection below reads the transform's output verbatim
+                m = self.source._load()
+                names = list(
+                    dict.fromkeys(
+                        list(m["key_cols"])
+                        + [f["name"] for f in self.source.schema_fields(m)]
+                    )
+                )
+                image = keep.select(
+                    *[img_col(c, old).alias(c) for c in names]
+                )
+                keep = self.row_transform(image)
+
+                def val(c, _old):
+                    return F.col(c)
+            else:
+                val = img_col
             return keep.select(
                 *[
-                    img_col(g, old).cast("string").alias(g)
+                    val(g, old).cast("string").alias(g)
                     for g in self.group_cols
                 ],
                 F.lit(-1 if old else 1).cast("long").alias("_sign"),
                 *[
-                    (F.lit(-1 if old else 1) * img_col(c, old).cast("long")).alias(n)
+                    (F.lit(-1 if old else 1) * val(c, old).cast("long")).alias(n)
                     for n, c in self.sum_cols
                 ],
                 # min/max: new images feed the insert-side extremum, old
                 # images the retraction-threat extremum (NULL on the
                 # other side so each aggregate sees only its images)
                 *[
-                    (img_col(c, old).cast(t) if not old else nil.cast(t)).alias(f"_mmnew_{n}")
+                    (val(c, old).cast(t) if not old else nil.cast(t)).alias(f"_mmnew_{n}")
                     for n, c, t, _ in mm
                 ],
                 *[
-                    (img_col(c, old).cast(t) if old else nil.cast(t)).alias(f"_mmold_{n}")
+                    (val(c, old).cast(t) if old else nil.cast(t)).alias(f"_mmold_{n}")
                     for n, c, t, _ in mm
                 ],
             )
@@ -301,7 +333,10 @@ class IncrementalAggregate:
                 # pinned at v_to (reading live state would race a
                 # concurrent source commit); broadcast semi-join keeps
                 # the scan filtered to those groups' rows
-                srcv = self.source.read_version(v_to).select(
+                pinned = self.source.read_version(v_to)
+                if self.row_transform is not None:
+                    pinned = self.row_transform(pinned)
+                srcv = pinned.select(
                     *[
                         F.col(g).cast("string").alias(g)
                         for g in self.group_cols
@@ -451,6 +486,8 @@ class IncrementalAggregate:
             if version is None
             else self.source.read_version(version)
         )
+        if self.row_transform is not None:
+            src = self.row_transform(src)
         return src.groupBy(
             *[F.col(g).cast("string").alias(g) for g in self.group_cols]
         ).agg(
