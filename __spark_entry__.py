@@ -179,6 +179,41 @@ def q_stats_pruned_scan(spark, sf_dir):
     )
 
 
+_BLOOM_PROBE_IDS = [101, 202, 303, 404, 505, 606, 707, 808]
+
+
+def _sha40(i: int) -> str:
+    import hashlib
+
+    return hashlib.sha256(str(i).encode()).hexdigest()[:40]
+
+
+def q_bloom_pruned_lookup(spark, sf_dir):
+    """Bloom-filter point lookup (plans/bloom.py + TargetTable.build_bloom):
+    the commit column is hash-like, so min/max footer stats cannot prune
+    equality probes on it — the per-file Bloom sidecar can (probe absent
+    from all k bit positions => file provably lacks it). IN-probe for 8
+    commit hashes over the stats table's replayed state; result must equal
+    the SQL twin's final-state filter (probing a superseded/deleted event's
+    commit correctly returns nothing). Residual filter always reapplied —
+    bloom false positives cost a read, never a wrong row."""
+    q_stats_pruned_scan(spark, sf_dir)  # ensure the replayed table exists
+    table = TargetTable(spark, _REPLAY_CACHE[("stats", sf_dir)])
+    bkey = ("bloom", sf_dir)
+    if bkey not in _REPLAY_CACHE:
+        table.build_bloom("commit")
+        _REPLAY_CACHE[bkey] = True
+    commits = [_sha40(i) for i in _BLOOM_PROBE_IDS]
+    out = table.read_where([("commit", "in", commits)])
+    return out.select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_checkpoint_lineage_counts(spark, sf_dir):
     _flagship_root(spark, sf_dir)
     cp = Checkpoint(spark, _REPLAY_CACHE[("flagship", sf_dir)])
@@ -1530,18 +1565,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 73 gates are still value-checked locally every round by
+    # All 74 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
         "cdc_merge_mor_replay": q_cdc_merge_mor_replay,
         "stats_pruned_scan": q_stats_pruned_scan,
+        "bloom_pruned_lookup": q_bloom_pruned_lookup,
         "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
         "dedup_latest_by_key": q_dedup_latest_by_key,
-        "dedup_salted_latest": q_dedup_salted_latest,
         "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
@@ -1588,6 +1623,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "dedup_salted_latest": q_dedup_salted_latest,
         "mapping_projection": q_mapping_projection,
         "flatten_explode_tokens": q_flatten_explode_tokens,
         "broadcast_dict_join": q_broadcast_dict_join,
@@ -2041,6 +2077,13 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, k, event_id AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type IN ('click', 'view') "
             f"AND value >= 10.0"
+        ),
+        # bloom probe == final-state filter on the derived commit hash
+        "bloom_pruned_lookup": (
+            f"SELECT user_id, k, event_id AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
+            f"AND substr(sha256(CAST(event_id AS VARCHAR)), 1, 40) IN "
+            f"('16dc368a89b428b2485484313ba67a3912ca03f2', 'c17edaae86e4016a583e098582f6dbf3eccade8e', '8bd9c0d453533757387ed019c45617cdc440ba68', '6b3c238ebcf1f3c07cf0e556faa82c6b8fe96840', 'e13b778ae833ca8c5d757c58e4a85bd71e08c05c', 'f57b8252cea0e3cad78056cbf96b9fc041279769', '5b60f221d4a1852afd0194ad0857fae9c558608e', 'd72a11d264e746464ed45f73e1ec058e33ad4027')"
         ),
         "checkpoint_lineage_counts": (
             f"SELECT event_id % 4 AS batch_id, "

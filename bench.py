@@ -69,6 +69,7 @@ HEADLINE = [
     "expectations_quality",  # added r5: declarative DQ rules, observe-riding
     "bm25_topk",  # added r5: BM25 retrieval, broadcast-query postings join
     "bm25_incremental_index",  # added r5: maintained inverted-index scoring
+    "bloom_pruned_lookup",  # added r5: per-file bloom point-lookup skipping
 ]
 
 

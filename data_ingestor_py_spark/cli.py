@@ -120,6 +120,11 @@ def main(argv: list[str] | None = None) -> int:
                           "'lang=go' or 'value<5.0' (repeat for AND; ops "
                           "= < <= > >=); runs before expiry so one "
                           "invocation completes logical+physical erasure")
+    mnt.add_argument("--build-bloom", action="append", default=[],
+                     metavar="COL",
+                     help="build/refresh the per-file Bloom point-lookup "
+                          "sidecar for a column (repeatable); incremental "
+                          "over uncovered snapshot dirs")
     mnt.add_argument("--delete-seq", type=int, default=None,
                      help="sequence stamped on the delete tombstones "
                           "(default: past every victim's current seq); pass "
@@ -162,6 +167,8 @@ def main(argv: list[str] | None = None) -> int:
             out["rewrite_snapshot"] = t.rewrite_data_files(stale_after=args.stale_after)
         if args.compact_deltas:
             out["compact_snapshot"] = t.compact_bucket_deltas(min_deltas=args.min_deltas)
+        for col in args.build_bloom:
+            out[f"bloom_{col}"] = t.build_bloom(col)
         if args.expire_keep:
             t.expire_snapshots(keep_last=args.expire_keep)
             out["expired_keep_last"] = args.expire_keep

@@ -56,7 +56,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.operators.dedup import latest_by_key, salted_latest_by_key
-from data_ingestor_py_spark.plans import filestats
+from data_ingestor_py_spark.plans import bloom, filestats
 from data_ingestor_py_spark.storage import PosixStorage, StorageAdapter
 
 MANIFEST = "_manifest.json"
@@ -499,8 +499,164 @@ class TargetTable:
                 continue
         raise CommitConflict(f"analyze lost {max_retries} races")
 
+    # ---------------- bloom point-lookup index (plans/bloom.py) ----------
+
+    def _bloom_key(self, m: dict, name: str) -> str | None:
+        """Schema-stable sidecar key for a column (independent of
+        stats_keys — blooms cover any string/numeric column)."""
+        if name in m["key_cols"] or name == m["seq_col"]:
+            return name
+        for f in self.schema_fields(m):
+            if f["name"] == name:
+                return f"f{f['id']}"
+        return None
+
+    def _bloom_path(self, colkey: str) -> str:
+        return os.path.join(self.root, "_bloom", f"{colkey}.json")
+
+    def _written_name(self, m: dict, schema_v: int, name: str) -> str | None:
+        """The column's name as WRITTEN under ``schema_v`` (renames change
+        names, field ids don't); None if the field didn't exist yet."""
+        if name in m["key_cols"] or name == m["seq_col"]:
+            return name
+        fid = next(
+            (f["id"] for f in self.schema_fields(m) if f["name"] == name), None
+        )
+        if fid is None:
+            return None
+        return next(
+            (f["name"] for f in self.schema_fields(m, schema_v) if f["id"] == fid),
+            None,
+        )
+
+    def build_bloom(
+        self,
+        col: str,
+        m_bits: int = bloom.DEFAULT_M,
+        k: int = bloom.DEFAULT_K,
+    ) -> dict:
+        """Build/refresh the per-file Bloom sidecar for ``col``.
+
+        Incremental by construction: snapshot dirs are immutable, so only
+        live dirs not yet covered are scanned (one Catalyst job per
+        written-schema group — value -> k positions -> bit_or words per
+        file); entries for expired dirs are dropped. Changing
+        ``m_bits``/``k`` discards the sidecar and rebuilds whole.
+
+        The sidecar is advisory metadata OUTSIDE the manifest commit:
+        probes consult whatever build last published, pruning is sound
+        for exactly the files it covers, and a torn/missing sidecar just
+        means no pruning (bloom.BloomSidecar tolerates garbage). Files
+        with no non-NULL values get an empty word map — provably absent
+        for every probe, the strongest entry."""
+        m = self._load()
+        ck = self._bloom_key(m, col)
+        if ck is None:
+            raise ValueError(f"unknown column {col!r}")
+        side = bloom.BloomSidecar(self.io.get(self._bloom_path(ck)))
+        doc = (
+            side.doc
+            if side.doc is not None and side.params == (m_bits, k)
+            else {"col": ck, "m": m_bits, "k": k, "dirs": {}}
+        )
+        live: dict[str, int] = {}
+        for e in m["buckets"].values():
+            for layer in [e] + list(e.get("deltas", ())):
+                live[layer["path"]] = layer["schema"]
+        doc["dirs"] = {d: v for d, v in doc["dirs"].items() if d in live}
+        todo = {d: sv for d, sv in live.items() if d not in doc["dirs"]}
+        groups: dict[tuple[str, int], list[str]] = {}
+        for d, sv in sorted(todo.items()):
+            files = [
+                os.path.basename(p)
+                for p in self.io.list(os.path.join(self.root, d))
+                if p.endswith(".parquet")
+                and not os.path.basename(p).startswith(("_", "."))
+            ]
+            # complete-by-construction dir entry; words merge in below
+            doc["dirs"][d] = {"files": {f: {"w": {}} for f in files}}
+            wname = self._written_name(m, sv, col)
+            if wname is not None and files:
+                groups.setdefault((wname, sv), []).append(d)
+        for (wname, sv), dirs in sorted(groups.items()):
+            df = self.spark.read.schema(self._written_ddl(m, sv)).parquet(
+                *[os.path.join(self.root, d) for d in dirs]
+            )
+            words = bloom.build_words(
+                df.select(
+                    F.col(wname).alias("_v"),
+                    F.input_file_name().alias("_file"),
+                ),
+                "_v", m_bits, k,
+            )
+            for r in words.collect():
+                p = r["_file"]
+                if p.startswith("file:"):
+                    p = "/" + p[5:].lstrip("/")
+                rel = os.path.relpath(p, self.root)
+                d, fname = os.path.split(rel)
+                entry = doc["dirs"].get(d, {}).get("files", {}).get(fname)
+                if entry is not None:
+                    entry["w"][str(r["w"])] = r["bits"]
+        self.io.put(self._bloom_path(ck), json.dumps(doc).encode())
+        return {"dirs_built": len(todo), "dirs_covered": len(doc["dirs"])}
+
+    def _bloom_probes(
+        self, m: dict, preds: list[tuple[str, str, object]]
+    ) -> list[tuple["bloom.BloomSidecar", list[list[int]]]]:
+        """For each =/IN predicate with a usable sidecar: (sidecar,
+        [positions-per-candidate-value]). A file survives a predicate if
+        ANY of its values may be present; it is pruned if EVERY value is
+        provably absent from the file."""
+        out = []
+        for c, op, v in preds:
+            if op not in ("=", "in"):
+                continue
+            ck = self._bloom_key(m, c)
+            if ck is None:
+                continue
+            side = bloom.BloomSidecar(self.io.get(self._bloom_path(ck)))
+            if side.params is None:
+                continue
+            mb, k = side.params
+            vals = list(v) if op == "in" else [v]
+            pos = bloom.probe_positions(self.spark, vals, mb, k)
+            if pos:
+                out.append((side, list(pos.values())))
+        return out
+
+    @staticmethod
+    def _bloom_file_ok(probes, reldir: str, fname: str) -> bool:
+        """True = must read (possibly present / not covered)."""
+        for side, val_positions in probes:
+            entry = side.file_entry(reldir, fname)
+            if entry is None:
+                continue
+            if not any(bloom.may_contain(entry, ps) for ps in val_positions):
+                return False
+        return True
+
+    @staticmethod
+    def _bloom_dir_prunable(probes, reldir: str) -> tuple[bool, int]:
+        """(whole dir provably empty for the probe, file count if covered)."""
+        n = -1
+        for side, val_positions in probes:
+            if not side.covered(reldir):
+                continue
+            files = side.dir_files(reldir)
+            n = len(files)
+            if all(
+                not any(bloom.may_contain(e, ps) for ps in val_positions)
+                for e in files.values()
+            ):
+                return True, n
+        return False, n
+
     def scan_plan(
-        self, preds: list[tuple[str, str, object]], m: dict | None = None
+        self,
+        preds: list[tuple[str, str, object]],
+        m: dict | None = None,
+        use_bloom: bool = True,
     ) -> dict:
         """Plan a statistics-pruned scan for a conjunction of simple
         predicates ``(col, op, value)`` with ops ``= < <= > >= in``.
@@ -524,6 +680,7 @@ class TargetTable:
         m = m or self._load()
         preds = filestats.validate_preds(preds)
         resolved = [(self._colkey(m, c), op, v) for c, op, v in preds]
+        probes = self._bloom_probes(m, preds) if use_bloom else []
         stats = m.get("stats", {})
         plain: list[tuple[int, str]] = []    # (schema, file-or-dir rel path)
         layered: list[tuple[int, str]] = []  # (schema, dir rel path)
@@ -542,11 +699,27 @@ class TargetTable:
             if len(layers) == 1:
                 fs = per_layer[0]
                 if fs is None:
+                    # no footer stats for this dir — bloom can still prove
+                    # the probe absent from every covered file
+                    prunable, nf = self._bloom_dir_prunable(
+                        probes, info["path"]
+                    )
+                    if nf >= 0:
+                        n_files += nf
+                    if prunable:
+                        continue
+                    if nf >= 0:
+                        n_files_read += nf
                     plain.append((info["schema"], info["path"]))
                     n_bkts_read += 1
                     continue
                 n_files += len(fs)
-                keep = [f for f in fs if file_match(f["st"])]
+                keep = [
+                    f
+                    for f in fs
+                    if file_match(f["st"])
+                    and self._bloom_file_ok(probes, info["path"], f["f"])
+                ]
                 n_files_read += len(keep)
                 if keep:
                     n_bkts_read += 1
@@ -581,6 +754,13 @@ class TargetTable:
                 ):
                     skip = True
                     break
+            if not skip and probes:
+                # MoR bucket: prune only as a whole (winner rule spans
+                # layers) — every layer dir must prove the probe absent
+                skip = all(
+                    self._bloom_dir_prunable(probes, layer["path"])[0]
+                    for layer in layers
+                )
             if not skip:
                 n_bkts_read += 1
                 n_files_read += sum(len(fs) for fs in per_layer if fs is not None)
