@@ -1297,6 +1297,42 @@ def q_bm25_incremental_index(spark, sf_dir):
     )
 
 
+def q_incremental_topk(spark, sf_dir):
+    """Delta-maintained per-group TOP-K (plans/topk_mv.py): top-5 rows per
+    lang by value over the flagship CDC replay, maintained from the
+    changelog with the boundary rule — inserts splice against the stored
+    k-th (no source read); only groups where a retraction ties-or-beats
+    the stored k-th re-aggregate, from the source pinned at the fold
+    version via a broadcast semi-join (MIN/MAX's targeted recompute
+    generalized to k). Two genuine folds; the second retracts mid-state
+    leaderboard members. Oracle = one SQL window over the full-replay
+    twin. Ties break on (user_id, k) ascending — compared as LONGs on
+    both sides."""
+    from data_ingestor_py_spark.plans.topk_mv import IncrementalTopK
+
+    table = TargetTable(spark, _flagship_root(spark, sf_dir))
+    tk_args = dict(
+        group_cols=["lang"], order_col="value", k=5,
+        tiebreak_cols=[("repo", "long"), ("path", "long")],
+    )
+    key = ("topk", sf_dir)
+    if key not in _REPLAY_CACHE:
+        troot = _mk("ingestor-topk-")
+        tk = IncrementalTopK.create(spark, troot, table, **tk_args)
+        cur = table._load()["version"]
+        for v in sorted({(cur + 1) // 2, cur}):
+            tk.refresh(upto_version=v)
+        _REPLAY_CACHE[key] = troot
+    tk = IncrementalTopK(spark, _REPLAY_CACHE[key], table, **tk_args)
+    return tk.read().select(
+        "lang",
+        "rank",
+        F.col("i_repo").alias("user_id"),
+        F.col("i_path").alias("k"),
+        F.col("val"),
+    )
+
+
 def q_incremental_mv_lang_counts(spark, sf_dir):
     """Delta-maintained materialized aggregate (plans/mv.py) over the
     flagship table: folded snapshot-by-snapshot (each fold reads only the
@@ -1565,7 +1601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 74 gates are still value-checked locally every round by
+    # All 75 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1577,7 +1613,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
         "dedup_latest_by_key": q_dedup_latest_by_key,
-        "session_window_native": q_session_window_native,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_signatures": q_minhash_signatures,
@@ -1601,6 +1636,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_quality": q_expectations_quality,
         "bm25_topk": q_bm25_topk,
         "bm25_incremental_index": q_bm25_incremental_index,
+        "incremental_topk_leaderboard": q_incremental_topk,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
@@ -1623,6 +1659,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "session_window_native": q_session_window_native,
         "dedup_salted_latest": q_dedup_salted_latest,
         "mapping_projection": q_mapping_projection,
         "flatten_explode_tokens": q_flatten_explode_tokens,
@@ -2449,6 +2486,16 @@ def oracle_sql() -> dict[str, str]:
             "THEN text || ' zebraterm zebraterm' ELSE text END AS text "
             "FROM documents WHERE doc_id % 13 <> 0",
             _BM25_QUERIES, 10,
+        ),
+        # top-k == one SQL window over the full-replay twin; ties on
+        # (user_id, k) ASC match the engine's LONG tiebreak columns
+        "incremental_topk_leaderboard": (
+            f"SELECT lang, rank, user_id, k, val FROM ("
+            f"SELECT event_type AS lang, value AS val, user_id, k, "
+            f"row_number() OVER (PARTITION BY event_type "
+            f"ORDER BY value DESC, user_id ASC, k ASC) AS rank "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error') "
+            f"WHERE rank <= 5"
         ),
         # min/max MV == plain GROUP BY extremes over the replayed state
         # (min/max are selections, not arithmetic, so double is hash-exact)

@@ -70,6 +70,7 @@ HEADLINE = [
     "bm25_topk",  # added r5: BM25 retrieval, broadcast-query postings join
     "bm25_incremental_index",  # added r5: maintained inverted-index scoring
     "bloom_pruned_lookup",  # added r5: per-file bloom point-lookup skipping
+    "incremental_topk_leaderboard",  # added r5: delta-maintained top-k
 ]
 
 
