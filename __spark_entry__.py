@@ -1297,6 +1297,70 @@ def q_bm25_incremental_index(spark, sf_dir):
     )
 
 
+def q_stream_windowed_rollup(spark, sf_dir):
+    """Watermarked event-time windowed aggregation through a REAL
+    streaming query (streaming/windowed.py): daily tumbling windows per
+    event_type with a 1-hour watermark, append mode, every FINALIZED
+    window merged into a TargetTable keyed (event_type, window_start)
+    with _seq = window start (re-delivery idempotent). Two micro-batches
+    via the file-source mtime trick: all real events, then a far-future
+    sentinel that drives the watermark past every real window. The
+    sentinel's own window never closes, so the oracle is a plain windowed
+    GROUP BY over the real events (epoch-floor day buckets). Sums are
+    BIGINT — float sums would depend on summation order."""
+    import glob
+    import shutil
+
+    from data_ingestor_py_spark.streaming.windowed import (
+        create_window_table,
+        stream_windowed_to_table,
+    )
+
+    key = ("windowed", sf_dir)
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
+        d = tempfile.mkdtemp(prefix="ingestor-window-")
+        in_dir = os.path.join(d, "in")
+        ev.coalesce(1).write.parquet(in_dir)
+        sent_dir = os.path.join(d, "sent")
+        ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts")
+        ).select(
+            F.lit("zz_sentinel").alias("event_type"),
+            F.lit(0).cast("long").alias("event_id"),
+            "ts",
+        ).coalesce(1).write.parquet(sent_dir)
+        base = max(
+            os.path.getmtime(f)
+            for f in glob.glob(os.path.join(in_dir, "part-*.parquet"))
+        )
+        for i, f in enumerate(
+            glob.glob(os.path.join(sent_dir, "part-*.parquet"))
+        ):
+            dst = os.path.join(in_dir, f"zz-sentinel-{i}.parquet")
+            shutil.copy(f, dst)
+            os.utime(dst, (base + 60, base + 60))
+        t = create_window_table(
+            spark, _mk("ingestor-window-t-"),
+            ["event_type"], [("sum_id", "event_id")], num_buckets=4,
+        )
+        q = stream_windowed_to_table(
+            spark, in_dir, "event_type string, event_id long, ts timestamp",
+            t, window="1 day", watermark="1 hour",
+            group_cols=["event_type"], sum_cols=[("sum_id", "event_id")],
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(300)
+        _REPLAY_CACHE[key] = t.root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return t.read().select(
+        "event_type",
+        F.col("window_start").cast("long").alias("window_start"),
+        "n_events",
+        "sum_id",
+    )
+
+
 def q_incremental_topk(spark, sf_dir):
     """Delta-maintained per-group TOP-K (plans/topk_mv.py): top-5 rows per
     lang by value over the flagship CDC replay, maintained from the
@@ -1601,7 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 75 gates are still value-checked locally every round by
+    # All 76 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1613,7 +1677,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
         "dedup_latest_by_key": q_dedup_latest_by_key,
-        "sessionize_stream_closed": q_sessionize_stream_closed,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -1636,6 +1699,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_quality": q_expectations_quality,
         "bm25_topk": q_bm25_topk,
         "bm25_incremental_index": q_bm25_incremental_index,
+        "stream_windowed_rollup": q_stream_windowed_rollup,
         "incremental_topk_leaderboard": q_incremental_topk,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
@@ -1659,6 +1723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "sessionize_stream_closed": q_sessionize_stream_closed,
         "session_window_native": q_session_window_native,
         "dedup_salted_latest": q_dedup_salted_latest,
         "mapping_projection": q_mapping_projection,
@@ -2486,6 +2551,14 @@ def oracle_sql() -> dict[str, str]:
             "THEN text || ' zebraterm zebraterm' ELSE text END AS text "
             "FROM documents WHERE doc_id % 13 <> 0",
             _BM25_QUERIES, 10,
+        ),
+        # closed windows == plain daily GROUP BY over the real events
+        # (the sentinel's window never closes; epoch-floor day buckets)
+        "stream_windowed_rollup": (
+            "SELECT event_type, "
+            "CAST(floor(epoch(ts) / 86400) * 86400 AS BIGINT) AS window_start, "
+            "count(*) AS n_events, CAST(sum(event_id) AS BIGINT) AS sum_id "
+            "FROM events GROUP BY event_type, window_start"
         ),
         # top-k == one SQL window over the full-replay twin; ties on
         # (user_id, k) ASC match the engine's LONG tiebreak columns

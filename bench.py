@@ -71,6 +71,7 @@ HEADLINE = [
     "bm25_incremental_index",  # added r5: maintained inverted-index scoring
     "bloom_pruned_lookup",  # added r5: per-file bloom point-lookup skipping
     "incremental_topk_leaderboard",  # added r5: delta-maintained top-k
+    "stream_windowed_rollup",  # added r5: watermarked append-mode windows
 ]
 
 

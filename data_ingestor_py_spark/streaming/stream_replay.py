@@ -29,11 +29,15 @@ from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint, Lin
 from data_ingestor_py_spark.plans.target import TargetTable
 
 
-def start_foreach_stream(stream, apply_fn, checkpoint_dir, available_now):
+def start_foreach_stream(
+    stream, apply_fn, checkpoint_dir, available_now, output_mode="update"
+):
     """Shared writer plumbing for the engine's foreachBatch drivers
-    (stream_replay / stream_scd2 / stream_debezium_replay): one place for
-    outputMode, checkpointLocation, and the availableNow trigger."""
-    writer = stream.writeStream.foreachBatch(apply_fn).outputMode("update")
+    (stream_replay / stream_scd2 / stream_debezium_replay / windowed):
+    one place for outputMode, checkpointLocation, and the availableNow
+    trigger. ``output_mode="append"`` is the watermarked-window case —
+    each finalized row delivered once."""
+    writer = stream.writeStream.foreachBatch(apply_fn).outputMode(output_mode)
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     if available_now:
