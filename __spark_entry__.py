@@ -1297,6 +1297,70 @@ def q_bm25_incremental_index(spark, sf_dir):
     )
 
 
+def q_snapshot_stream_handoff(spark, sf_dir):
+    """Snapshot -> binlog cutover (streaming/handoff.py): an
+    engine-generated consistent snapshot at LSN = max(event_id)//2
+    (pre-LSN events replayed through a scratch table), bootstrapped into
+    a fresh table with every row stamped _seq = LSN, then the FULL binlog
+    (max overlap) replayed with the LSN floor — pre-LSN events are
+    dropped before the merge, closing the absent-key resurrection hole
+    (a key deleted before the snapshot has no stored seq for a
+    re-delivered pre-LSN insert to lose against). Values must equal the
+    full-replay twin; snapshot-sourced rows carry last_seq = LSN (the
+    CASE in the oracle)."""
+    from data_ingestor_py_spark.sources.debezium import to_debezium_json
+    from data_ingestor_py_spark.streaming.handoff import (
+        bootstrap_snapshot,
+        replay_after_snapshot,
+    )
+
+    key = ("handoff", sf_dir)
+    if key not in _REPLAY_CACHE:
+        cdc = _events_cdc(spark, sf_dir)
+        lsn = int(cdc.agg(F.max("_seq")).first()[0]) // 2
+        cols = dict(
+            key_cols=["repo", "path"],
+            columns=[("lang", "string"), ("value", "double")],
+            num_buckets=16,
+        )
+        prep = lambda df, i: df.select(  # noqa: E731
+            "repo", "path", "lang", "value", "_seq", "_op", "_ts"
+        )
+        # consistent snapshot at LSN, produced by the engine itself
+        pre = TargetTable.create(spark, _mk("ingestor-handoff-pre-"), **cols)
+        replay(pre, [cdc.where(F.col("_seq") <= lsn)], prepare=prep)
+        snapshot = pre.read().select("repo", "path", "lang", "value")
+        # serialize the FULL history as the delivered binlog (max overlap)
+        is_del = F.col("_op") == "D"
+        wire = cdc.select(
+            to_debezium_json(
+                F.struct(
+                    F.col("repo"), F.col("path"), F.col("lang"), F.col("value")
+                ),
+                F.when(is_del, F.lit("d")).otherwise(F.lit("u")),
+                F.col("_seq") * 1000,
+                F.col("_seq"),
+            ).alias("value")
+        )
+        t = TargetTable.create(spark, _mk("ingestor-handoff-t-"), **cols)
+        bootstrap_snapshot(t, snapshot, lsn)
+        replay_after_snapshot(
+            wire,
+            [("repo", "string"), ("path", "string"), ("lang", "string"),
+             ("value", "double")],
+            t, lsn,
+        )
+        _REPLAY_CACHE[key] = t.root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return t.read().select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_stream_windowed_rollup(spark, sf_dir):
     """Watermarked event-time windowed aggregation through a REAL
     streaming query (streaming/windowed.py): daily tumbling windows per
@@ -1665,7 +1729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 76 gates are still value-checked locally every round by
+    # All 77 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1685,7 +1749,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "token_count_regex": q_token_count_regex,
-        "neardup_clusters": q_neardup_clusters,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "stratified_sample_langs": q_stratified_sample_langs,
         "strip_boilerplate_highdf": q_strip_boilerplate_highdf,
@@ -1699,6 +1762,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_quality": q_expectations_quality,
         "bm25_topk": q_bm25_topk,
         "bm25_incremental_index": q_bm25_incremental_index,
+        "snapshot_stream_handoff": q_snapshot_stream_handoff,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "incremental_topk_leaderboard": q_incremental_topk,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
@@ -1723,6 +1787,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "neardup_clusters": q_neardup_clusters,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "session_window_native": q_session_window_native,
         "dedup_salted_latest": q_dedup_salted_latest,
@@ -2551,6 +2616,15 @@ def oracle_sql() -> dict[str, str]:
             "THEN text || ' zebraterm zebraterm' ELSE text END AS text "
             "FROM documents WHERE doc_id % 13 <> 0",
             _BM25_QUERIES, 10,
+        ),
+        # handoff == full-replay values; snapshot-sourced rows carry the
+        # bootstrap stamp (LSN) as their seq
+        "snapshot_stream_handoff": (
+            f"SELECT user_id, k, CASE WHEN event_id <= "
+            f"(SELECT max(event_id) // 2 FROM events) "
+            f"THEN (SELECT max(event_id) // 2 FROM events) "
+            f"ELSE event_id END AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
         ),
         # closed windows == plain daily GROUP BY over the real events
         # (the sentinel's window never closes; epoch-floor day buckets)

@@ -72,6 +72,7 @@ HEADLINE = [
     "bloom_pruned_lookup",  # added r5: per-file bloom point-lookup skipping
     "incremental_topk_leaderboard",  # added r5: delta-maintained top-k
     "stream_windowed_rollup",  # added r5: watermarked append-mode windows
+    "snapshot_stream_handoff",  # added r5: LSN-floored snapshot cutover
 ]
 
 
