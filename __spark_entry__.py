@@ -214,6 +214,43 @@ def q_bloom_pruned_lookup(spark, sf_dir):
     )
 
 
+def q_zorder_pruned_scan(spark, sf_dir):
+    """Z-order clustering rewrite (TargetTable.rewrite_data_files
+    zorder_by): the replayed flagship state re-clustered by the Morton
+    interleave of (value, _seq) — after which per-file statistics carry
+    tight ranges on BOTH columns and a 2-D range predicate prunes files
+    on each (a linear sort only ever serves its leading column). The
+    gate is the correctness half: the pruned 2-D read must equal the SQL
+    twin's filter exactly (clustering moves rows between files, never
+    changes them); the pruning-effectiveness half is pinned by
+    test_zorder.py."""
+    key = ("zorder", sf_dir)
+    if key not in _REPLAY_CACHE:
+        root = _mk("ingestor-zorder-")
+        table = TargetTable.create(
+            spark, root, key_cols=["repo", "path"],
+            columns=[("commit", "string"), ("lang", "string"), ("value", "double")],
+            num_buckets=16, stats_cols=["value", "_seq"],
+        )
+        cdc = _events_cdc(spark, sf_dir)
+        batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
+        prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
+        replay(table, batches, prepare=prep)
+        table.rewrite_data_files(zorder_by=["value", "_seq"], max_rows_per_file=2000)
+        _REPLAY_CACHE[key] = root
+    table = TargetTable(spark, _REPLAY_CACHE[key])
+    out = table.read_where(
+        [("value", ">=", 50.0), ("value", "<", 120.0), ("_seq", ">=", 2000)]
+    )
+    return out.select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_checkpoint_lineage_counts(spark, sf_dir):
     _flagship_root(spark, sf_dir)
     cp = Checkpoint(spark, _REPLAY_CACHE[("flagship", sf_dir)])
@@ -1729,7 +1766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 77 gates are still value-checked locally every round by
+    # All 78 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1737,6 +1774,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_merge_mor_replay": q_cdc_merge_mor_replay,
         "stats_pruned_scan": q_stats_pruned_scan,
         "bloom_pruned_lookup": q_bloom_pruned_lookup,
+        "zorder_pruned_scan": q_zorder_pruned_scan,
         "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
@@ -1749,7 +1787,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "token_count_regex": q_token_count_regex,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
         "stratified_sample_langs": q_stratified_sample_langs,
         "strip_boilerplate_highdf": q_strip_boilerplate_highdf,
         "repetition_gopher": q_repetition_gopher,
@@ -1787,6 +1824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "join_revenue_by_nation": q_join_revenue_by_nation,
         "neardup_clusters": q_neardup_clusters,
         "sessionize_stream_closed": q_sessionize_stream_closed,
         "session_window_native": q_session_window_native,
@@ -2616,6 +2654,12 @@ def oracle_sql() -> dict[str, str]:
             "THEN text || ' zebraterm zebraterm' ELSE text END AS text "
             "FROM documents WHERE doc_id % 13 <> 0",
             _BM25_QUERIES, 10,
+        ),
+        # z-order clustering never changes state: pruned 2-D read == filter
+        "zorder_pruned_scan": (
+            f"SELECT user_id, k, event_id AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
+            f"AND value >= 50.0 AND value < 120.0 AND event_id >= 2000"
         ),
         # handoff == full-replay values; snapshot-sourced rows carry the
         # bootstrap stamp (LSN) as their seq

@@ -73,6 +73,7 @@ HEADLINE = [
     "incremental_topk_leaderboard",  # added r5: delta-maintained top-k
     "stream_windowed_rollup",  # added r5: watermarked append-mode windows
     "snapshot_stream_handoff",  # added r5: LSN-floored snapshot cutover
+    "zorder_pruned_scan",  # added r5: Morton clustering, 2-D file pruning
 ]
 
 

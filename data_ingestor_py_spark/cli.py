@@ -120,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
                           "'lang=go' or 'value<5.0' (repeat for AND; ops "
                           "= < <= > >=); runs before expiry so one "
                           "invocation completes logical+physical erasure")
+    mnt.add_argument("--zorder-by", action="append", default=[],
+                     metavar="COL",
+                     help="z-order clustering rewrite over 2-4 numeric "
+                          "columns (repeat the flag; implies a full "
+                          "clustering pass)")
+    mnt.add_argument("--max-rows-per-file", type=int, default=None)
     mnt.add_argument("--build-bloom", action="append", default=[],
                      metavar="COL",
                      help="build/refresh the per-file Bloom point-lookup "
@@ -163,6 +169,11 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["deleted_rows"] = st.rows_in
             out["delete_snapshot"] = st.snapshot_version
+        if args.zorder_by:
+            out["zorder_snapshot"] = t.rewrite_data_files(
+                zorder_by=args.zorder_by,
+                max_rows_per_file=args.max_rows_per_file,
+            )
         if args.rewrite_data_files:
             out["rewrite_snapshot"] = t.rewrite_data_files(stale_after=args.stale_after)
         if args.compact_deltas:

@@ -1617,6 +1617,7 @@ class TargetTable:
         stale_after: int = 8,
         sort_by: list[str] | None = None,
         max_rows_per_file: int | None = None,
+        zorder_by: list[str] | None = None,
     ) -> int | None:
         """Maintenance: Iceberg ``rewrite_data_files`` analogue — physically
         rewrite live bucket files into a fresh snapshot dir at the CURRENT
@@ -1653,7 +1654,11 @@ class TargetTable:
         ``sortWithinPartitions`` keeps the bucket-pure task layout; the
         sort leads with ``bkt`` so multi-bucket tasks never interleave
         buckets across the partitionBy write."""
-        if sort_by and bucket_ids is None and stale_after > 0:
+        if sort_by and zorder_by:
+            raise ValueError("sort_by and zorder_by are mutually exclusive")
+        if zorder_by and len(zorder_by) < 2:
+            raise ValueError("zorder_by needs >= 2 columns (use sort_by for 1)")
+        if (sort_by or zorder_by) and bucket_ids is None and stale_after > 0:
             # a clustering pass explicitly asked for should not silently
             # skip "fresh" buckets — cluster everything unless scoped
             bucket_ids = sorted(int(b) for b in self._load()["buckets"])
@@ -1684,6 +1689,10 @@ class TargetTable:
             if bad:
                 raise ValueError(f"sort_by columns not in table: {bad}")
             out = out.sortWithinPartitions("bkt", *sort_by)
+        elif zorder_by:
+            out = out.sortWithinPartitions(
+                "bkt", self._zvalue(out, zorder_by)
+            )
         new_v = v + 1
         rel, out_dir = self._write_snap_dir(
             out, new_v, m, max_rows_per_file=max_rows_per_file
@@ -1707,6 +1716,71 @@ class TargetTable:
         )
         self._commit_manifest(m)
         return new_v
+
+    def _zvalue(self, df: DataFrame, cols: list[str], bits: int = 16):
+        """Z-order (Morton) key over 2-4 NUMERIC columns, pure Catalyst.
+
+        Each column is linearly scaled to a ``bits``-bit rank from its
+        LIVE min/max (one column-pruned agg, driver-collected literals —
+        a maintenance-time cost, like Delta OSS's range binning), then
+        the ranks' bits interleave into one 64-bit key. Sorting files by
+        that key gives every z-order column tight per-file (min, max)
+        ranges simultaneously, so :meth:`scan_plan` prunes on ANY of
+        them — a single-column ``sort_by`` only ever serves its leading
+        column. Linear scaling is skew-sensitive (a heavy hitter
+        compresses the rest of the range); clustering only affects WHICH
+        files rows land in, never correctness — statistics stay bounds
+        and the residual filter always reapplies.
+
+        NULLs rank 0 (sort first); a constant column contributes nothing.
+        Strings are rejected: hashing would destroy the range locality
+        that makes interleaving useful."""
+        if not 2 <= len(cols) <= 4:
+            raise ValueError("zorder_by supports 2-4 columns")
+        m = self._load()
+        types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+        types[m["seq_col"]] = "long"  # engine column, always numeric
+        bad = [c for c in cols if c not in types]
+        if bad:
+            raise ValueError(f"zorder_by columns not in table: {bad}")
+        non_num = [c for c in cols if filestats.kind_of(types[c]) != "num"]
+        if non_num:
+            raise ValueError(
+                f"zorder_by columns must be numeric (got {non_num}); "
+                "hashing strings would destroy the range locality "
+                "interleaving relies on"
+            )
+        stats = self.read().agg(
+            *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
+            *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
+        ).first()
+        top = (1 << bits) - 1
+        ranks = []
+        for c in cols:
+            mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+            if mn is None or mx is None or mx <= mn:
+                ranks.append(F.lit(0).cast("long"))
+                continue
+            scaled = (
+                (F.col(c).cast("double") - F.lit(float(mn)))
+                / F.lit(float(mx - mn))
+                * F.lit(float(top))
+            )
+            ranks.append(
+                F.coalesce(
+                    F.least(F.lit(top).cast("long"), F.floor(scaled).cast("long")),
+                    F.lit(0).cast("long"),
+                )
+            )
+        n = len(cols)
+        z = F.lit(0).cast("long")
+        for i in range(bits):
+            for j, r in enumerate(ranks):
+                bit = F.shiftright(r, i).bitwiseAND(F.lit(1))
+                z = z.bitwiseOR(
+                    F.shiftleft(bit.cast("long"), i * n + (n - 1 - j))
+                )
+        return z.alias("_z")
 
     # ---------------- verification / maintenance ----------------
 
