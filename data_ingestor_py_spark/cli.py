@@ -170,12 +170,17 @@ def main(argv: list[str] | None = None) -> int:
             out["deleted_rows"] = st.rows_in
             out["delete_snapshot"] = st.snapshot_version
         if args.zorder_by:
+            if len(args.zorder_by) < 2:
+                ap.error("--zorder-by needs at least 2 columns (repeat the flag)")
             out["zorder_snapshot"] = t.rewrite_data_files(
                 zorder_by=args.zorder_by,
                 max_rows_per_file=args.max_rows_per_file,
             )
         if args.rewrite_data_files:
-            out["rewrite_snapshot"] = t.rewrite_data_files(stale_after=args.stale_after)
+            out["rewrite_snapshot"] = t.rewrite_data_files(
+                stale_after=args.stale_after,
+                max_rows_per_file=args.max_rows_per_file,
+            )
         if args.compact_deltas:
             out["compact_snapshot"] = t.compact_bucket_deltas(min_deltas=args.min_deltas)
         for col in args.build_bloom:

@@ -55,7 +55,9 @@ def doc_postings(
     """``(doc_id, term, tf, dl)`` — term frequencies plus doc length."""
     base = df.select(
         F.col(id_col).alias("doc_id"),
-        tokens(text_col).alias("_ts"),
+        # NULL text -> empty token list (size() of NULL is -1 in legacy
+        # mode / NULL in ANSI — both wrong for a length)
+        F.coalesce(tokens(text_col), F.array()).alias("_ts"),
     ).select("doc_id", F.size("_ts").cast("long").alias("dl"), F.explode("_ts").alias("term"))
     return base.groupBy("doc_id", "term", "dl").agg(
         F.count(F.lit(1)).cast("long").alias("tf")
@@ -79,9 +81,9 @@ def corpus_totals(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> tuple[int, int]:
     """``(N, total_len)`` — corpus document and token counts."""
-    row = df.select(F.size(tokens(text_col)).cast("long").alias("dl")).agg(
-        F.count(F.lit(1)).alias("n"), F.sum("dl").alias("L")
-    ).first()
+    row = df.select(
+        F.size(F.coalesce(tokens(text_col), F.array())).cast("long").alias("dl")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("dl").alias("L")).first()
     return int(row["n"]), int(row["L"] or 0)
 
 
@@ -216,7 +218,8 @@ class IncrementalIndex:
         def doc_lengths(df: DataFrame) -> DataFrame:
             return df.select(
                 F.lit("corpus").alias("_all"),
-                F.size(tokens(text_col)).cast("long").alias("dl"),
+                F.size(F.coalesce(tokens(text_col), F.array()))
+                .cast("long").alias("dl"),
             )
 
         kw = {"num_buckets": num_buckets} if _create else {}
@@ -261,14 +264,18 @@ class IncrementalIndex:
         return int(row["n_rows"]), int(row["total_len"])
 
     def bm25_topk(
-        self, queries: dict[str, list[str]], k: int = 10, **kw
+        self, queries: dict[str, list[str]], k: int = 10,
+        id_type: str = "string", **kw
     ) -> DataFrame:
         """Score against the CURRENT table state using the MAINTAINED
         df/N/L statistics (per-doc tf/dl are recomputed map-side from the
         scored rows themselves — they are per-row facts, not corpus
-        state, so there is nothing to maintain)."""
+        state, so there is nothing to maintain). ``id_type`` casts the
+        (string-stored) key for the rank tiebreak — pass ``"long"`` for
+        numeric ids, or lexicographic order breaks ties ('10' < '2')."""
         docs = self.source.read().select(
-            F.col(self.source._load()["key_cols"][0]).alias("doc_id"),
+            F.col(self.source._load()["key_cols"][0])
+            .cast(id_type).alias("doc_id"),
             F.col(self.text_col).alias("text"),
         )
         return bm25_topk(

@@ -55,18 +55,23 @@ def _positions_exprs(col, m: int, k: int):
 
 
 def build_words(df, value_col: str, m: int, k: int):
-    """``(f, w, bits)`` per input file for one column: the distributed
-    bloom build. ``df`` must carry the data column plus ``_file``."""
-    vals = (
-        df.select("_file", F.col(value_col).alias("_v"))
-        .where(F.col("_v").isNotNull())
-        .distinct()  # map-side combine; shrinks the explode
+    """``(f, w, bits)`` word rows plus ``(f, nn)`` non-NULL value counts
+    per input file for one column: the distributed bloom build. ``df``
+    must carry the data column plus ``_file``. The counts frame is the
+    path-match witness: only files the job actually produced rows for
+    may get sidecar entries (see TargetTable.build_bloom) — a
+    path-normalization mismatch must degrade to "uncovered -> read",
+    never to "empty filter -> prune everything"."""
+    base = df.select("_file", F.col(value_col).alias("_v"))
+    counts = base.groupBy("_file").agg(
+        F.count(F.col("_v")).alias("nn")  # non-NULL values in the file
     )
+    vals = base.where(F.col("_v").isNotNull()).distinct()
     pos = vals.select(
         "_file",
         F.explode(F.array(*_positions_exprs(F.col("_v"), m, k))).alias("_p"),
     )
-    return (
+    words = (
         pos.select(
             "_file",
             (F.col("_p") / 64).cast("long").alias("w"),
@@ -77,21 +82,28 @@ def build_words(df, value_col: str, m: int, k: int):
         .groupBy("_file", "w")
         .agg(F.bit_or("b").alias("bits"))
     )
+    return words, counts
 
 
 def probe_positions(
-    spark: SparkSession, values: list, m: int, k: int
+    spark: SparkSession, values: list, m: int, k: int, spark_type: str = "string"
 ) -> dict[str, list[int]]:
-    """value(as string) -> its k bit positions, computed with the SAME
-    expression tree the build used (one local metadata-scale job)."""
-    vals = sorted({str(v) for v in values if v is not None})
+    """probe value -> its k bit positions. The probe value is first cast
+    to the COLUMN'S current Spark type and then rendered through the
+    same ``CAST(v AS STRING)`` the build hashed — str(python_value) is
+    NOT that rendering (Java prints doubles as '1.23E7', booleans as
+    'true'), so the typed round-trip is what keeps build and probe on
+    the same hash input. One local metadata-scale job."""
+    vals = [v for v in values if v is not None]
     if not vals:
         return {}
-    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    df = spark.createDataFrame(
+        [(str(v),) for v in sorted({str(v) for v in vals})], "v string"
+    ).select(F.col("v").cast(spark_type).alias("v")).where(F.col("v").isNotNull())
     rows = df.select(
         "v", F.array(*_positions_exprs(F.col("v"), m, k)).alias("ps")
     ).collect()
-    return {r["v"]: list(r["ps"]) for r in rows}
+    return {str(r["v"]): list(r["ps"]) for r in rows}
 
 
 def may_contain(file_entry: dict, positions: list[int]) -> bool:
@@ -105,11 +117,15 @@ def may_contain(file_entry: dict, positions: list[int]) -> bool:
 
 
 class BloomSidecar:
-    """One column's sidecar: ``{"col", "m", "k", "dirs": {reldir:
-    {"files": {fname: {"w": {word: bits}}}}}}`` stored as JSON next to
-    the manifest. Dir entries are complete by construction (immutable
-    snapshot dirs), so absence of a FILE under a covered dir is
-    meaningful; absence of a DIR just means "not built yet -> read"."""
+    """One column's sidecar: ``{"col", "m", "k", "type", "dirs":
+    {reldir: {"all": [fname...], "files": {fname: {"w": {word:
+    bits}}}}}}`` stored as JSON next to the manifest. ``all`` is the
+    complete dir listing at build time (snapshot dirs are immutable);
+    ``files`` holds entries ONLY for files the build job path-matched —
+    a file in ``all`` without an entry is read, and a dir with any such
+    file is never whole-dir pruned. ``type`` is the column's Spark type
+    the build rendered through CAST(... AS STRING); probes against a
+    since-retyped column ignore the sidecar."""
 
     def __init__(self, raw: bytes | None):
         if raw is None:
@@ -131,6 +147,12 @@ class BloomSidecar:
 
     def dir_files(self, reldir: str) -> dict:
         return self.doc["dirs"][reldir]["files"]
+
+    def dir_complete(self, reldir: str) -> bool:
+        """Every file of the dir has a path-matched entry — the
+        precondition for whole-dir pruning."""
+        d = self.doc["dirs"][reldir]
+        return all(f in d["files"] for f in d.get("all", ()))
 
     def file_entry(self, reldir: str, fname: str) -> dict | None:
         if not self.covered(reldir):

@@ -150,7 +150,15 @@ class ExpectationSet:
                 raise ExpectationFailed({k: v for k, v in bad.items() if v})
 
         quar = self._by_action("quarantine")
-        if quar and quarantine_dir is not None:
+        if quar and quarantine_dir is None:
+            raise ValueError(
+                "quarantine-action expectation(s) "
+                f"{[e.name for e in quar]} require quarantine_dir — "
+                "without it the rows would vanish like 'drop', defeating "
+                "the repair/replay contract (use action='drop' if that is "
+                "what you mean)"
+            )
+        if quar:
             qcond = F.lit(False)
             for e in quar:
                 qcond = qcond | F.array_contains(F.col(_VCOL), e.name)
@@ -165,9 +173,13 @@ class ExpectationSet:
         # counts cover every input row (removed ones included) while still
         # riding the caller's action — no separate counting job
         obs = Observation(f"expectations-{batch_id}")
+        qhit = F.lit(False)
+        for e in self._by_action("quarantine"):
+            qhit = qhit | F.array_contains(F.col(_VCOL), e.name)
         observed = ann.observe(
             obs,
             F.count(F.lit(1)).alias("_rows_in"),
+            F.sum(qhit.cast("long")).alias("_quarantined"),
             *[
                 F.sum(
                     F.array_contains(F.col(_VCOL), e.name).cast("long")
@@ -188,6 +200,7 @@ class ExpectationSet:
             violations={
                 e.name: got[e.name] or 0 for e in self.expectations
             },
+            quarantined=got.get("_quarantined") or 0,
         )
 
     # ---------------- replay integration ----------------

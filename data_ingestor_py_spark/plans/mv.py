@@ -56,6 +56,44 @@ class RefreshGapError(RuntimeError):
     ``refresh(auto_reseed=True)``)."""
 
 
+def roll_forward_pending(
+    table: TargetTable, cp: Checkpoint, consumer: str, v_from: int
+) -> BatchRecord | None:
+    """Shared crash-recovery for the fold/checkpoint commit gap (used by
+    every MV-style consumer: scalar aggregates, top-k, distinct). A fold
+    records its target version as ``app_meta`` INSIDE the MV-table merge
+    commit; if that intent is ahead of the checkpoint, the fold landed
+    but its checkpoint didn't — commit the missing record (stats
+    recovered from the manifest history) instead of re-folding, because
+    MV folds are not re-applicable."""
+    m = table._load()
+    am = m.get("app_meta", {})
+    if am.get("consumer") != consumer or int(am.get("mv_synced_upto", 0)) <= v_from:
+        return None
+    v_to = int(am["mv_synced_upto"])
+    snap_v = int(m["version"])
+    hist = next(
+        (h for h in reversed(m["history"]) if h["snapshot"] == snap_v), {}
+    )
+    now = time.time()
+    rec = BatchRecord(
+        batch_id=v_to,
+        src_offset_start=int(am.get("mv_synced_from", v_from)),
+        src_offset_end=v_to,
+        rows_in=int(hist.get("rows_in", -1)),
+        rows_applied=int(hist.get("rows_applied", -1) or -1),
+        touched_buckets=len(hist.get("buckets", [])),
+        snapshot_version=snap_v,
+        checksum="",
+        status="COMMITTED",
+        started_at=now,
+        committed_at=now,
+        duration_s=0.0,
+    )
+    cp.commit(rec)
+    return rec
+
+
 class IncrementalAggregate:
     """A COUNT/SUM/MIN/MAX aggregate over a source table, maintained from
     its changelog. ``group_cols`` may mix source key columns and payload
@@ -163,36 +201,10 @@ class IncrementalAggregate:
         checkpoint, the fold landed but its checkpoint didn't: commit the
         missing record now (stats recovered from the manifest history) and
         return it — the caller then re-reads synced_version() instead of
-        folding."""
-        m = self.table._load()
-        am = m.get("app_meta", {})
-        if am.get("consumer") != "mv" or int(am.get("mv_synced_upto", 0)) <= v_from:
-            return None
-        v_to = int(am["mv_synced_upto"])
-        # the pending fold is necessarily the MV table's LATEST commit:
-        # refresh/reseed are this table's only writers and the checkpoint
-        # lagging proves nothing ran after the fold
-        snap_v = int(m["version"])
-        hist = next(
-            (h for h in reversed(m["history"]) if h["snapshot"] == snap_v), {}
-        )
-        now = time.time()
-        rec = BatchRecord(
-            batch_id=v_to,
-            src_offset_start=int(am.get("mv_synced_from", v_from)),
-            src_offset_end=v_to,
-            rows_in=int(hist.get("rows_in", -1)),
-            rows_applied=int(hist.get("rows_applied", -1) or -1),
-            touched_buckets=len(hist.get("buckets", [])),
-            snapshot_version=snap_v,
-            checksum="",
-            status="COMMITTED",
-            started_at=now,
-            committed_at=now,
-            duration_s=0.0,
-        )
-        self.cp.commit(rec)
-        return rec
+        folding. The pending fold is necessarily the MV table's LATEST
+        commit: refresh/reseed are this table's only writers and the
+        checkpoint lagging proves nothing ran after the fold."""
+        return roll_forward_pending(self.table, self.cp, "mv", v_from)
 
     def refresh(
         self, upto_version: int | None = None, auto_reseed: bool = False

@@ -559,13 +559,19 @@ class TargetTable:
             if side.doc is not None and side.params == (m_bits, k)
             else {"col": ck, "m": m_bits, "k": k, "dirs": {}}
         )
+        cur_type = self._bloom_col_type(m, col)
+        if doc.get("type") not in (None, cur_type):
+            # column retyped since the sidecar was built: the stored hashes
+            # used the old type's string rendering — rebuild whole
+            doc = {"col": ck, "m": m_bits, "k": k, "dirs": {}}
+        doc["type"] = cur_type
         live: dict[str, int] = {}
         for e in m["buckets"].values():
             for layer in [e] + list(e.get("deltas", ())):
                 live[layer["path"]] = layer["schema"]
         doc["dirs"] = {d: v for d, v in doc["dirs"].items() if d in live}
         todo = {d: sv for d, sv in live.items() if d not in doc["dirs"]}
-        groups: dict[tuple[str, int], list[str]] = {}
+        groups: dict[int, list[str]] = {}
         for d, sv in sorted(todo.items()):
             files = [
                 os.path.basename(p)
@@ -573,33 +579,62 @@ class TargetTable:
                 if p.endswith(".parquet")
                 and not os.path.basename(p).startswith(("_", "."))
             ]
-            # complete-by-construction dir entry; words merge in below
-            doc["dirs"][d] = {"files": {f: {"w": {}} for f in files}}
-            wname = self._written_name(m, sv, col)
-            if wname is not None and files:
-                groups.setdefault((wname, sv), []).append(d)
-        for (wname, sv), dirs in sorted(groups.items()):
-            df = self.spark.read.schema(self._written_ddl(m, sv)).parquet(
+            # "all" = complete dir listing (immutable dirs); "files" gets an
+            # entry ONLY when the build job path-matches the file below —
+            # an unmatched file stays entry-less and is always read
+            doc["dirs"][d] = {"all": files, "files": {}}
+            if self._written_name(m, sv, col) is not None and files:
+                groups.setdefault(sv, []).append(d)
+            else:
+                # column didn't exist under this written schema: every row
+                # reads as NULL under the current schema -> provably absent
+                doc["dirs"][d]["files"] = {f: {"w": {}} for f in files}
+        for sv, dirs in sorted(groups.items()):
+            # read under the WRITTEN schema, then align to the current one
+            # before hashing: the sidecar must store the CURRENT type's
+            # string rendering or probes against a retyped/renamed column
+            # would hash a different string than the build did
+            raw = self.spark.read.schema(self._written_ddl(m, sv)).parquet(
                 *[os.path.join(self.root, d) for d in dirs]
             )
-            words = bloom.build_words(
-                df.select(
-                    F.col(wname).alias("_v"),
-                    F.input_file_name().alias("_file"),
-                ),
-                "_v", m_bits, k,
+            wname = self._written_name(m, sv, col)
+            df = raw.select(
+                F.col(wname).cast(cur_type).alias("_v"),
+                F.input_file_name().alias("_file"),
             )
+            words, counts = bloom.build_words(df, "_v", m_bits, k)
+            matched: dict[tuple[str, str], dict] = {}
+            for r in counts.collect():
+                d, fname = self._rel_split(r["_file"])
+                entry_dir = doc["dirs"].get(d)
+                if entry_dir is not None and fname in entry_dir["all"]:
+                    entry = {"w": {}}
+                    entry_dir["files"][fname] = entry
+                    matched[(d, fname)] = entry
             for r in words.collect():
-                p = r["_file"]
-                if p.startswith("file:"):
-                    p = "/" + p[5:].lstrip("/")
-                rel = os.path.relpath(p, self.root)
-                d, fname = os.path.split(rel)
-                entry = doc["dirs"].get(d, {}).get("files", {}).get(fname)
-                if entry is not None:
-                    entry["w"][str(r["w"])] = r["bits"]
+                e = matched.get(self._rel_split(r["_file"]))
+                if e is not None:
+                    e["w"][str(r["w"])] = r["bits"]
         self.io.put(self._bloom_path(ck), json.dumps(doc).encode())
         return {"dirs_built": len(todo), "dirs_covered": len(doc["dirs"])}
+
+    def _rel_split(self, fpath: str) -> tuple[str, str]:
+        p = fpath
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        rel = os.path.relpath(p, self.root)
+        d, fname = os.path.split(rel)
+        return d, fname
+
+    def _bloom_col_type(self, m: dict, name: str) -> str:
+        if name in m["key_cols"]:
+            return "string"
+        if name == m["seq_col"]:
+            return "long"
+        for f in self.schema_fields(m):
+            if f["name"] == name:
+                return f["type"]
+        return "string"
 
     def _bloom_probes(
         self, m: dict, preds: list[tuple[str, str, object]]
@@ -618,9 +653,14 @@ class TargetTable:
             side = bloom.BloomSidecar(self.io.get(self._bloom_path(ck)))
             if side.params is None:
                 continue
+            cur_type = self._bloom_col_type(m, c)
+            if side.doc.get("type") != cur_type:
+                continue  # column retyped since the build: stale rendering
             mb, k = side.params
             vals = list(v) if op == "in" else [v]
-            pos = bloom.probe_positions(self.spark, vals, mb, k)
+            pos = bloom.probe_positions(
+                self.spark, vals, mb, k, spark_type=cur_type
+            )
             if pos:
                 out.append((side, list(pos.values())))
         return out
@@ -644,7 +684,9 @@ class TargetTable:
             if not side.covered(reldir):
                 continue
             files = side.dir_files(reldir)
-            n = len(files)
+            n = len(side.doc["dirs"][reldir].get("all", files))
+            if not side.dir_complete(reldir):
+                continue  # an entry-less file exists: must read the dir
             if all(
                 not any(bloom.may_contain(e, ps) for ps in val_positions)
                 for e in files.values()
@@ -1754,6 +1796,11 @@ class TargetTable:
             *[F.min(F.col(c).cast("double")).alias(f"mn_{c}") for c in cols],
             *[F.max(F.col(c).cast("double")).alias(f"mx_{c}") for c in cols],
         ).first()
+        n = len(cols)
+        # keep the interleaved key out of the sign bit: 4 columns at 16
+        # bits would place a rank bit at position 63 and flip the sort
+        # order of the upper half of column 1's range (review finding)
+        bits = min(bits, 63 // n)
         top = (1 << bits) - 1
         ranks = []
         for c in cols:
@@ -1772,7 +1819,6 @@ class TargetTable:
                     F.lit(0).cast("long"),
                 )
             )
-        n = len(cols)
         z = F.lit(0).cast("long")
         for i in range(bits):
             for j, r in enumerate(ranks):

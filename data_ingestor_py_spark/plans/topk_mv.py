@@ -45,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint
-from data_ingestor_py_spark.plans.mv import RefreshGapError
+from data_ingestor_py_spark.plans.mv import RefreshGapError, roll_forward_pending
 from data_ingestor_py_spark.plans.target import TargetTable
 from data_ingestor_py_spark.storage import StorageAdapter
 
@@ -157,32 +157,7 @@ class IncrementalTopK:
     # ---------------- refresh ----------------
 
     def _roll_forward_pending(self, v_from: int) -> BatchRecord | None:
-        m = self.table._load()
-        am = m.get("app_meta", {})
-        if am.get("consumer") != "topk" or int(am.get("mv_synced_upto", 0)) <= v_from:
-            return None
-        v_to = int(am["mv_synced_upto"])
-        snap_v = int(m["version"])
-        hist = next(
-            (h for h in reversed(m["history"]) if h["snapshot"] == snap_v), {}
-        )
-        now = time.time()
-        rec = BatchRecord(
-            batch_id=v_to,
-            src_offset_start=int(am.get("mv_synced_from", v_from)),
-            src_offset_end=v_to,
-            rows_in=int(hist.get("rows_in", -1)),
-            rows_applied=int(hist.get("rows_applied", -1) or -1),
-            touched_buckets=len(hist.get("buckets", [])),
-            snapshot_version=snap_v,
-            checksum="",
-            status="COMMITTED",
-            started_at=now,
-            committed_at=now,
-            duration_s=0.0,
-        )
-        self.cp.commit(rec)
-        return rec
+        return roll_forward_pending(self.table, self.cp, "topk", v_from)
 
     def _source_rows(self, df: DataFrame) -> DataFrame:
         """(group..., item..., val) projection of source-shaped rows."""
@@ -285,6 +260,13 @@ class IncrementalTopK:
             need = r.where(
                 F.col("n_stored").isNull()  # MV lag edge: treat as reagg
                 | (F.col("n_stored") < self.k)
+                # NULL retracted value or NULL stored boundary: the
+                # comparator would yield NULL (filtered as false) and a
+                # deleted NULL-val member would ghost in the view — NULLs
+                # sort last, so such rows sit exactly at the boundary;
+                # re-aggregate their groups (review finding)
+                | F.col("val").isNull()
+                | F.col("kv").isNull()
                 | self._ties_or_beats(
                     F.col("val"), [F.col(i) for i in items],
                     F.col("kv"), [F.col(f"k_{i}") for i in items],

@@ -176,3 +176,56 @@ def test_unknown_column_raises(spark, tmp_path):
     t = _mk(spark, tmp_path)
     with pytest.raises(ValueError):
         t.build_bloom("nope")
+
+
+def test_numeric_probe_matches_java_rendering(spark, tmp_path):
+    """Probe values are cast through the column's Spark type before
+    hashing: str(12345678.0) = '12345678.0' but Java renders the double
+    as '1.2345678E7' — the build hashed the latter (review finding)."""
+    t = TargetTable.create(
+        spark, str(tmp_path / "n"),
+        key_cols=["id"], columns=[("val", "double")], num_buckets=2,
+    )
+    batch = spark.range(50).select(
+        F.col("id").cast("string").alias("id"),
+        (F.col("id") * 1e6 + 12345678.0).alias("val"),
+        F.col("id").alias("_seq"),
+        F.lit("U").alias("_op"),
+        F.lit(None).cast("timestamp").alias("_ts"),
+    )
+    t.merge_apply(batch, stats="light")
+    t.build_bloom("val")
+    rows = t.read_where([("val", "=", 12345678.0)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == "0"
+    rows = t.read_where([("val", "=", 3 * 1e6 + 12345678.0)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == "3"
+    assert t.scan_plan([("val", "=", 17.5)])["files_read"] == 0
+
+
+def test_retype_invalidates_sidecar(spark, tmp_path):
+    """A sidecar built under one type's string rendering must not prune
+    probes against the retyped column (long '5' vs double '5.0')."""
+    t = TargetTable.create(
+        spark, str(tmp_path / "r"),
+        key_cols=["id"], columns=[("n", "long")], num_buckets=2,
+    )
+    batch = spark.range(40).select(
+        F.col("id").cast("string").alias("id"),
+        (F.col("id") * 3).alias("n"),
+        F.col("id").alias("_seq"),
+        F.lit("U").alias("_op"),
+        F.lit(None).cast("timestamp").alias("_ts"),
+    )
+    t.merge_apply(batch, stats="light")
+    t.build_bloom("n")
+    t.evolve(retype={"n": "double"})
+    # stale sidecar ignored -> full read, correct rows
+    plan = t.scan_plan([("n", "=", 9.0)])
+    assert plan["files_read"] == plan["files_total"]
+    rows = t.read_where([("n", "=", 9.0)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == "3"
+    # rebuild under the new type restores pruning with correct hashing
+    t.build_bloom("n")
+    rows = t.read_where([("n", "=", 9.0)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == "3"
+    assert t.scan_plan([("n", "=", 9.5)])["files_read"] == 0

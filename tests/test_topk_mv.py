@@ -186,3 +186,28 @@ def test_reseed_bootstrap_and_gap_recovery(spark, tmp_path):
     tk.refresh()  # incremental resumes after reseed
     got = _check(tk)
     assert ("b", 1, "99", 77.0) in got
+
+
+def test_null_value_member_retraction_no_ghost(spark, tmp_path):
+    """A stored member with NULL order value (group below k, NULLs fill
+    trailing ranks) must disappear when its source row is deleted — the
+    boundary comparator alone would yield NULL and skip the reagg
+    (review finding)."""
+    src = _mk_source(spark, tmp_path)
+    tk = _mk_topk(spark, tmp_path, src)  # k=3
+    _apply(spark, src, [(1, "a", 5.0), (2, "a", None), (3, "a", 1.0)], 0)
+    tk.refresh()
+    got = _check(tk)
+    assert len(got) == 3  # NULL-val row holds the last rank
+    _apply(spark, src, [(2, None, None)], 100)  # delete the NULL-val member
+    tk.refresh()
+    got = _check(tk)
+    assert [r[2] for r in got] == ["1", "3"]
+    # NULL stored boundary + non-null retraction also reaggs
+    _apply(spark, src, [(4, "a", None)], 200)
+    tk.refresh()
+    _check(tk)
+    _apply(spark, src, [(1, None, None)], 300)
+    tk.refresh()
+    got = _check(tk)
+    assert [r[2] for r in got] == ["3", "4"]
