@@ -48,7 +48,7 @@ def main() -> None:
     base = "/dev/shm" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
     roots = {
         n: os.path.join(base, f"incdemo-{n}")
-        for n in ("src", "mv", "scd", "dim", "jv")
+        for n in ("src", "mv", "scd", "dim", "jv", "topk")
     }
     for r in roots.values():
         shutil.rmtree(r, ignore_errors=True)
@@ -92,7 +92,18 @@ def main() -> None:
         num_buckets=32,
     )
 
-    out = {"merge_s": [], "mv_s": [], "scd2_s": [], "join_s": [], "history_rows": 0}
+    # top-k view: hottest 10 paths per lang by _seq — the boundary rule
+    # means a typical batch re-aggregates only groups whose leaderboard
+    # was actually touched; per-batch cost must stay flat as state grows
+    from data_ingestor_py_spark.plans.topk_mv import IncrementalTopK
+
+    topk = IncrementalTopK.create(
+        spark, roots["topk"], src, group_cols=["lang"], order_col="_seq",
+        k=10, order_type="long",
+        tiebreak_cols=[("repo", "string"), ("path", "string")],
+    )
+
+    out = {"merge_s": [], "mv_s": [], "scd2_s": [], "join_s": [], "topk_s": [], "history_rows": 0}
     for i in range(k):
         batch = ev.where(
             (F.col("_seq") >= i * n) & (F.col("_seq") < (i + 1) * n)
@@ -115,13 +126,16 @@ def main() -> None:
         ))
         jv.refresh()
         t4 = time.time()
+        topk.refresh()
+        t5 = time.time()
         out["merge_s"].append(round(t1 - t0, 2))
         out["mv_s"].append(round(t2 - t1, 2))
         out["scd2_s"].append(round(t3 - t2, 2))
         out["join_s"].append(round(t4 - t3, 2))
+        out["topk_s"].append(round(t5 - t4, 2))
         print(
             f"batch {i}: merge {t1-t0:.1f}s  mv {t2-t1:.1f}s  "
-            f"scd2 {t3-t2:.1f}s  join {t4-t3:.1f}s",
+            f"scd2 {t3-t2:.1f}s  join {t4-t3:.1f}s  topk {t5-t4:.1f}s",
             file=sys.stderr,
         )
     out["history_rows"] = read_history(hist).count()
@@ -131,6 +145,9 @@ def main() -> None:
     inc = sorted(map(tuple, mv.read().collect()), key=lambda t: [(x is None, x) for x in t])
     ful = sorted(map(tuple, mv.recompute().collect()), key=lambda t: [(x is None, x) for x in t])
     out["mv_exact"] = inc == ful
+    tk_inc = sorted(map(tuple, topk.read().collect()))
+    tk_ful = sorted(map(tuple, topk.recompute().collect()))
+    out["topk_exact"] = tk_inc == tk_ful
     # join-view correctness: incremental folds == one full re-join
     out["join_exact"] = (
         jv.read().exceptAll(jv.recompute()).isEmpty()
