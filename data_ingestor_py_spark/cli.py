@@ -120,6 +120,12 @@ def main(argv: list[str] | None = None) -> int:
                           "'lang=go' or 'value<5.0' (repeat for AND; ops "
                           "= < <= > >=); runs before expiry so one "
                           "invocation completes logical+physical erasure")
+    mnt.add_argument("--auto", action="store_true",
+                     help="policy-driven pass: analyze missing stats, "
+                          "compact MoR deltas, rewrite stale buckets, "
+                          "refresh existing bloom sidecars, then expire "
+                          "(with --expire-keep); every action no-ops when "
+                          "not needed")
     mnt.add_argument("--zorder-by", action="append", default=[],
                      metavar="COL",
                      help="z-order clustering rewrite over 2-4 numeric "
@@ -169,6 +175,14 @@ def main(argv: list[str] | None = None) -> int:
             )
             out["deleted_rows"] = st.rows_in
             out["delete_snapshot"] = st.snapshot_version
+        if args.auto:
+            from data_ingestor_py_spark.plans.maintenance import auto_maintain
+
+            out["auto"] = auto_maintain(
+                t, expire_keep=args.expire_keep,
+                stale_after=args.stale_after,
+                max_rows_per_file=args.max_rows_per_file,
+            )
         if args.zorder_by:
             if len(args.zorder_by) < 2:
                 ap.error("--zorder-by needs at least 2 columns (repeat the flag)")
@@ -185,7 +199,7 @@ def main(argv: list[str] | None = None) -> int:
             out["compact_snapshot"] = t.compact_bucket_deltas(min_deltas=args.min_deltas)
         for col in args.build_bloom:
             out[f"bloom_{col}"] = t.build_bloom(col)
-        if args.expire_keep:
+        if args.expire_keep and not args.auto:  # --auto already expired
             t.expire_snapshots(keep_last=args.expire_keep)
             out["expired_keep_last"] = args.expire_keep
         out["version"] = t._load()["version"]
