@@ -127,3 +127,22 @@ def test_restart_is_noop_and_crash_converges(spark, tmp_path):
     # _seq -> table converges to the same state
     _run(spark, tmp_path, in_dir, t, checkpoint=str(tmp_path / "cp2"))
     assert t.snapshot_hash() == h1
+
+
+def test_sliding_windows_batch_semantics(spark):
+    """slide < window: each event lands in window/slide windows; the
+    batch run of windowed_agg IS the oracle semantics for the stream."""
+    rows = [(1, 10, 0.25 * DAY), (1, 11, 0.75 * DAY)]
+    got = {
+        (r["window_start"], r["n_events"], r["sum_id"])
+        for r in windowed_agg(
+            _events(spark, rows), window="1 day", slide="12 hours",
+            group_cols=["user_id"], sum_cols=[("sum_id", "event_id")],
+        ).collect()
+    }
+    # event at 6h: windows starting -12h and 0h; event at 18h: 0h and 12h
+    assert got == {
+        (-12 * 3600, 1, 10),
+        (0, 2, 21),
+        (12 * 3600, 1, 11),
+    }
