@@ -1334,6 +1334,52 @@ def q_bm25_incremental_index(spark, sf_dir):
     )
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Watermarked stream-stream interval join through a REAL streaming
+    query (streaming/stream_join.py): view->purchase attribution within
+    2 days on user_id, both sides tailed as file streams, every matched
+    pair merged exactly-once into a TargetTable keyed (user, view,
+    purchase). An inner interval join's result set is epoch-independent
+    (a pair emits when both halves arrive; the time bound is what lets
+    the streaming state evict), so the oracle is the plain SQL join."""
+    from data_ingestor_py_spark.streaming.stream_join import (
+        create_join_table,
+        stream_interval_join_to_table,
+    )
+
+    key = ("sjoin", sf_dir)
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events")
+        d = tempfile.mkdtemp(prefix="ingestor-sjoin-")
+        l_dir, r_dir = os.path.join(d, "views"), os.path.join(d, "buys")
+        ev.where(F.col("event_type") == "view").select(
+            "user_id", F.col("event_id").alias("view_id"), "ts"
+        ).coalesce(1).write.parquet(l_dir)
+        ev.where(F.col("event_type") == "purchase").select(
+            "user_id", F.col("event_id").alias("purchase_id"), "ts"
+        ).coalesce(1).write.parquet(r_dir)
+        t = create_join_table(
+            spark, _mk("ingestor-sjoin-t-"),
+            ["user_id"], "view_id", "purchase_id", num_buckets=8,
+        )
+        q = stream_interval_join_to_table(
+            spark,
+            l_dir, "user_id long, view_id long, ts timestamp",
+            r_dir, "user_id long, purchase_id long, ts timestamp",
+            t, ["user_id"], "view_id", "purchase_id",
+            within="2 days", watermark="1 hour",
+        )
+        q.awaitTermination(300)
+        _REPLAY_CACHE[key] = t.root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return t.read().select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("view_id").cast("long").alias("view_id"),
+        F.col("purchase_id").cast("long").alias("purchase_id"),
+        "lag_s",
+    )
+
+
 def q_snapshot_stream_handoff(spark, sf_dir):
     """Snapshot -> binlog cutover (streaming/handoff.py): an
     engine-generated consistent snapshot at LSN = max(event_id)//2
@@ -1766,7 +1812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 78 gates are still value-checked locally every round by
+    # All 79 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     return {
         # touched this round (merge app_meta plumbing / oracle fixes / new):
@@ -1778,7 +1824,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
         "cdc_changes_between": q_cdc_changes_between,
-        "dedup_latest_by_key": q_dedup_latest_by_key,
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_signatures": q_minhash_signatures,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -1799,6 +1844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_quality": q_expectations_quality,
         "bm25_topk": q_bm25_topk,
         "bm25_incremental_index": q_bm25_incremental_index,
+        "stream_interval_join": q_stream_interval_join,
         "snapshot_stream_handoff": q_snapshot_stream_handoff,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "incremental_topk_leaderboard": q_incremental_topk,
@@ -1824,6 +1870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- tail: outside the driver's 50-query window this round.
         # Every entry below is driver-green in CORRECTNESS_r04 with code
         # untouched since, and rotates back into the window next round ----
+        "dedup_latest_by_key": q_dedup_latest_by_key,
         "join_revenue_by_nation": q_join_revenue_by_nation,
         "neardup_clusters": q_neardup_clusters,
         "sessionize_stream_closed": q_sessionize_stream_closed,
@@ -2660,6 +2707,15 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, k, event_id AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"AND value >= 50.0 AND value < 120.0 AND event_id >= 2000"
+        ),
+        # inner interval join is epoch-independent: plain SQL join twin
+        "stream_interval_join": (
+            "SELECT v.user_id, v.event_id AS view_id, "
+            "p.event_id AS purchase_id, "
+            "CAST(floor(epoch(p.ts) - epoch(v.ts)) AS BIGINT) AS lag_s "
+            "FROM events v JOIN events p ON v.user_id = p.user_id "
+            "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+            "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 2 DAY"
         ),
         # handoff == full-replay values; snapshot-sourced rows carry the
         # bootstrap stamp (LSN) as their seq

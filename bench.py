@@ -74,6 +74,7 @@ HEADLINE = [
     "stream_windowed_rollup",  # added r5: watermarked append-mode windows
     "snapshot_stream_handoff",  # added r5: LSN-floored snapshot cutover
     "zorder_pruned_scan",  # added r5: Morton clustering, 2-D file pruning
+    "stream_interval_join",  # added r5: stream-stream attribution join
 ]
 
 

@@ -1,0 +1,82 @@
+"""Watermarked stream-stream interval join (streaming/stream_join.py).
+
+An inner interval join's result set is epoch-independent (a pair emits
+once both halves arrived), so the batch run of the same plan is the
+exact groundtruth; restart and lost-checkpoint runs must converge
+through the keyed idempotent merge.
+"""
+
+from pyspark.sql import functions as F
+
+from data_ingestor_py_spark.streaming.stream_join import (
+    create_join_table,
+    interval_join,
+    stream_interval_join_to_table,
+)
+
+H = 3600
+L_SCHEMA = "user_id long, view_id long, ts timestamp"
+R_SCHEMA = "user_id long, purchase_id long, ts timestamp"
+
+VIEWS = [(1, 100, 1 * H), (1, 101, 5 * H), (2, 200, 2 * H), (3, 300, 1 * H)]
+BUYS = [(1, 900, 3 * H), (1, 901, 30 * H), (2, 910, 2 * H), (4, 940, 2 * H)]
+# within 6h: (100,900) lag 2h; (101,900)? 3h < 5h -> no (right before left);
+# (910 at 2h vs 200 at 2h) lag 0; user 3 no purchase; user 4 no view;
+# (101,901): 30h-5h=25h > 6h -> no; (100,901): 29h > 6h -> no
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(
+        [(a, b, float(t)) for a, b, t in rows],
+        schema.replace("timestamp", "double").replace("ts ", "_t "),
+    ).select(
+        *[c.split()[0] for c in schema.split(", ")[:-1]],
+        F.timestamp_seconds("_t").alias("ts"),
+    )
+
+
+def _want():
+    return sorted([(1, 100, 900, 2 * H), (2, 200, 910, 0)])
+
+
+def test_batch_join_groundtruth(spark):
+    got = sorted(
+        map(
+            tuple,
+            interval_join(
+                _df(spark, VIEWS, L_SCHEMA), _df(spark, BUYS, R_SCHEMA),
+                ["user_id"], "view_id", "purchase_id", within="6 hours",
+            ).collect(),
+        )
+    )
+    assert got == _want()
+
+
+def test_stream_join_lands_and_converges(spark, tmp_path):
+    l_dir, r_dir = str(tmp_path / "l"), str(tmp_path / "r")
+    _df(spark, VIEWS, L_SCHEMA).coalesce(1).write.parquet(l_dir)
+    _df(spark, BUYS, R_SCHEMA).coalesce(1).write.parquet(r_dir)
+    t = create_join_table(
+        spark, str(tmp_path / "t"), ["user_id"], "view_id", "purchase_id"
+    )
+    cp = str(tmp_path / "cp")
+
+    def run(cpd):
+        q = stream_interval_join_to_table(
+            spark, l_dir, L_SCHEMA, r_dir, R_SCHEMA, t,
+            ["user_id"], "view_id", "purchase_id",
+            within="6 hours", checkpoint_dir=cpd,
+        )
+        q.awaitTermination(300)
+
+    run(cp)
+    got = sorted(
+        (int(r["user_id"]), int(r["view_id"]), int(r["purchase_id"]), r["lag_s"])
+        for r in t.read().collect()
+    )
+    assert got == _want()
+    h = t.snapshot_hash()
+    run(cp)  # restart: no new data -> no-op
+    assert t.snapshot_hash() == h
+    run(str(tmp_path / "cp2"))  # lost checkpoint: re-delivery converges
+    assert t.snapshot_hash() == h
