@@ -41,6 +41,7 @@ def interval_join(
     right_ts: str = "ts",
     within: str = "1 day",
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
     """The join plan, identical on batch and stream frames (the batch
     run is the oracle's semantics). Output: key cols + ``left_id`` /
@@ -68,7 +69,9 @@ def interval_join(
         & (F.col("_rts") >= F.col("_lts"))
         & (F.col("_rts") <= F.col("_lts") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"how {how!r} not in ('inner', 'left_outer')")
+    return l.join(r, cond, how).select(
         *[F.col(f"_lk_{c}").alias(c) for c in key_cols],
         F.col("_lid").alias(left_id),
         F.col("_rid").alias(right_id),
@@ -111,11 +114,21 @@ def stream_interval_join_to_table(
     checkpoint_dir: str | None = None,
     max_files_per_trigger: int | None = None,
     available_now: bool = True,
+    how: str = "inner",
 ):
     """Tail two parquet directories, interval-join them, and merge every
-    matched pair into ``table`` keyed (key, left_id, right_id). ``_seq``
-    is constant — a pair's payload is immutable, so any re-delivery
-    merges the identical row (exactly-once landing)."""
+    result row into ``table`` keyed (key, left_id, right_id). ``_seq``
+    is constant — a row's payload is immutable, so any re-delivery
+    merges the identical row (exactly-once landing).
+
+    ``how="left_outer"``: matched pairs emit as they match; an UNMATCHED
+    left row emits null-padded only after the watermark proves no match
+    can still arrive (state eviction), so outer results trail by the
+    watermark delay — drive a sentinel through BOTH streams to flush
+    them in tests/batch-style runs (the global watermark is the MIN
+    across sources). NULL ``right_id`` is a real key component in the
+    sink table, so the null-padded row coexists with nothing and
+    re-delivers idempotently."""
 
     def reader(schema):
         rd = spark.readStream.schema(schema)
@@ -128,7 +141,7 @@ def stream_interval_join_to_table(
         reader(right_schema).parquet(right_dir),
         key_cols, left_id, right_id,
         left_ts=left_ts, right_ts=right_ts,
-        within=within, watermark=watermark,
+        within=within, watermark=watermark, how=how,
     )
 
     def apply_epoch(df: DataFrame, epoch_id: int) -> None:

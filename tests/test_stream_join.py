@@ -80,3 +80,67 @@ def test_stream_join_lands_and_converges(spark, tmp_path):
     assert t.snapshot_hash() == h
     run(str(tmp_path / "cp2"))  # lost checkpoint: re-delivery converges
     assert t.snapshot_hash() == h
+
+
+def _stage_two(spark, tmp_path):
+    """Both dirs get their main file + a far-future sentinel in a LATER
+    epoch (mtime trick) — outer emission needs the min-across-sources
+    watermark to pass every real row's eviction horizon."""
+    import glob
+    import os
+    import shutil
+
+    dirs = {}
+    specs = {
+        "l": (_df(spark, VIEWS, L_SCHEMA),
+              _df(spark, [(999998, 0, 1000 * H * 24)], L_SCHEMA)),
+        "r": (_df(spark, BUYS, R_SCHEMA),
+              _df(spark, [(999999, 0, 1000 * H * 24)], R_SCHEMA)),
+    }
+    base = 1_700_000_000
+    for name, (main, sent) in specs.items():
+        d = str(tmp_path / f"{name}_in")
+        os.makedirs(d)
+        for i, df in enumerate([main, sent]):
+            tmp = str(tmp_path / f"{name}_s{i}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(d, f"f{i:03d}.parquet")
+            shutil.copy(src, dst)
+            os.utime(dst, (base + i * 60, base + i * 60))
+        dirs[name] = d
+    return dirs["l"], dirs["r"]
+
+
+def test_left_outer_emits_unmatched_after_eviction(spark, tmp_path):
+    l_dir, r_dir = _stage_two(spark, tmp_path)
+    t = create_join_table(
+        spark, str(tmp_path / "t"), ["user_id"], "view_id", "purchase_id"
+    )
+    q = stream_interval_join_to_table(
+        spark, l_dir, L_SCHEMA, r_dir, R_SCHEMA, t,
+        ["user_id"], "view_id", "purchase_id",
+        within="6 hours", how="left_outer", max_files_per_trigger=1,
+        checkpoint_dir=str(tmp_path / "cp"),
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (int(r["user_id"]), int(r["view_id"]),
+         None if r["purchase_id"] is None else int(r["purchase_id"]),
+         r["lag_s"])
+        for r in t.read().collect()
+        if int(r["user_id"]) < 999000  # sentinels never emit
+    )
+    want = sorted(
+        map(
+            tuple,
+            interval_join(
+                _df(spark, VIEWS, L_SCHEMA), _df(spark, BUYS, R_SCHEMA),
+                ["user_id"], "view_id", "purchase_id",
+                within="6 hours", how="left_outer",
+            ).collect(),
+        )
+    )
+    assert got == want
+    # the unmatched views are really there, null-padded
+    assert (1, 101, None, None) in got and (3, 300, None, None) in got
