@@ -1362,14 +1362,23 @@ def q_stream_interval_join(spark, sf_dir):
             spark, _mk("ingestor-sjoin-t-"),
             ["user_id"], "view_id", "purchase_id", num_buckets=8,
         )
-        q = stream_interval_join_to_table(
-            spark,
-            l_dir, "user_id long, view_id long, ts timestamp",
-            r_dir, "user_id long, purchase_id long, ts timestamp",
-            t, ["user_id"], "view_id", "purchase_id",
-            within="2 days", watermark="1 hour",
-        )
-        q.awaitTermination(300)
+        # state-store init cost is per (partition x epoch): at toy scale a
+        # handful of partitions is 4x faster with identical results (the
+        # sessionize gate's established idiom; at cluster scale you size
+        # partitions to state volume instead)
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = stream_interval_join_to_table(
+                spark,
+                l_dir, "user_id long, view_id long, ts timestamp",
+                r_dir, "user_id long, purchase_id long, ts timestamp",
+                t, ["user_id"], "view_id", "purchase_id",
+                within="2 days", watermark="1 hour",
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         _REPLAY_CACHE[key] = t.root
     t = TargetTable(spark, _REPLAY_CACHE[key])
     return t.read().select(
@@ -1491,13 +1500,19 @@ def q_stream_windowed_rollup(spark, sf_dir):
             spark, _mk("ingestor-window-t-"),
             ["event_type"], [("sum_id", "event_id")], num_buckets=4,
         )
-        q = stream_windowed_to_table(
-            spark, in_dir, "event_type string, event_id long, ts timestamp",
-            t, window="1 day", watermark="1 hour",
-            group_cols=["event_type"], sum_cols=[("sum_id", "event_id")],
-            max_files_per_trigger=1,
-        )
-        q.awaitTermination(300)
+        # same toy-scale state-store sizing as the interval-join gate
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = stream_windowed_to_table(
+                spark, in_dir, "event_type string, event_id long, ts timestamp",
+                t, window="1 day", watermark="1 hour",
+                group_cols=["event_type"], sum_cols=[("sum_id", "event_id")],
+                max_files_per_trigger=1,
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         _REPLAY_CACHE[key] = t.root
     t = TargetTable(spark, _REPLAY_CACHE[key])
     return t.read().select(
