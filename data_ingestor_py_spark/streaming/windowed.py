@@ -69,11 +69,12 @@ def windowed_agg(
         )
         .select(
             *group_cols,
-            # epoch seconds via double cast — tz-independent (the
-            # session_window gate's established idiom)
-            F.floor(F.col("_w.start").cast("double")).cast("long").alias(
-                "window_start"
-            ),
+            # epoch seconds via timestamp->double cast — the session_window
+            # gate's established idiom; the intermediate cast also accepts
+            # TIMESTAMP_NTZ inputs (NTZ cannot cast straight to double)
+            F.floor(
+                F.col("_w.start").cast("timestamp").cast("double")
+            ).cast("long").alias("window_start"),
             "n_events",
             *[n for n, _ in sum_cols],
         )
