@@ -75,8 +75,11 @@ def interval_join(
         *[F.col(f"_lk_{c}").alias(c) for c in key_cols],
         F.col("_lid").alias(left_id),
         F.col("_rid").alias(right_id),
+        # intermediate timestamp cast: NTZ columns cannot cast straight
+        # to double (same idiom as streaming/windowed.py)
         F.floor(
-            F.col("_rts").cast("double") - F.col("_lts").cast("double")
+            F.col("_rts").cast("timestamp").cast("double")
+            - F.col("_lts").cast("timestamp").cast("double")
         ).cast("long").alias("lag_s"),
     )
 

@@ -144,3 +144,26 @@ def test_left_outer_emits_unmatched_after_eviction(spark, tmp_path):
     assert got == want
     # the unmatched views are really there, null-padded
     assert (1, 101, None, None) in got and (3, 300, None, None) in got
+
+
+def test_batch_join_accepts_ntz_timestamps(spark, tmp_path):
+    """The raw parquet events table reads as TIMESTAMP_NTZ; the batch
+    twin must accept it (lag epoch goes through an intermediate
+    timestamp cast)."""
+    p = str(tmp_path / "ntz")
+    _df(spark, VIEWS, L_SCHEMA).select(
+        "user_id", "view_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    ).write.parquet(p + "/l")
+    _df(spark, BUYS, R_SCHEMA).select(
+        "user_id", "purchase_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    ).write.parquet(p + "/r")
+    got = sorted(
+        map(
+            tuple,
+            interval_join(
+                spark.read.parquet(p + "/l"), spark.read.parquet(p + "/r"),
+                ["user_id"], "view_id", "purchase_id", within="6 hours",
+            ).collect(),
+        )
+    )
+    assert got == _want()
