@@ -234,3 +234,41 @@ def test_streaming_router_converges(spark):
     )
     q2.awaitTermination()
     assert (ra._load()["version"], rb._load()["version"]) == (v_a, v_b)
+
+
+def test_expectations_compose_with_routes(spark, tmp_path):
+    """Data-quality rules plug into a TableRoute via wrap_prepare: the
+    orders route drops negative amounts and quarantines tier-less...
+    here, drops amounts > 15 and quarantines nothing — proving the
+    router's prepare seam takes the expectations' composed callable
+    unchanged (the two features were built to compose, not integrate)."""
+    from data_ingestor_py_spark.plans.expectations import (
+        Expectation,
+        ExpectationSet,
+    )
+
+    wire, want_a, want_b = _wire(spark)
+    ra = TargetTable.create(
+        spark, _mkroot("rt-ea-"), key_cols=["id"],
+        columns=[("amount", "double")], num_buckets=4,
+    )
+    rb = TargetTable.create(
+        spark, _mkroot("rt-eb-"), key_cols=["id"],
+        columns=[("name", "string"), ("tier", "long")], num_buckets=4,
+    )
+    rules = ExpectationSet(
+        [Expectation("amount_cap", "amount <= 15 or _op = 'D'", "drop")]
+    )
+    prep = rules.wrap_prepare(lambda df, i: df.drop("src_op"))
+    router = DebeziumRouter(
+        spark, _mkroot("rt-ecp-"),
+        [
+            TableRoute("orders", A_FIELDS, ra, prepare=prep),
+            TableRoute("customers", B_FIELDS, rb),
+        ],
+    )
+    router.replay([wire])
+    # a3 (30.0) dropped by the rule; a1's final update 11.0 passes;
+    # the delete for a2 rides through (rule keeps _op='D' rows)
+    assert _state_a(ra) == {("a1", 11.0)}
+    assert _state_b(rb) == want_b
