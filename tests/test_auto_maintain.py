@@ -58,3 +58,28 @@ def test_auto_maintain_cow_plain_noop(spark, tmp_path):
     rep = auto_maintain(t)
     assert rep == {}  # fresh COW table, no stats configured, no blooms
     assert t.snapshot_hash() == h0
+
+
+def test_bloom_refresh_survives_column_rename(spark, tmp_path):
+    """The sidecar is keyed by field id; auto_maintain inverts it to the
+    CURRENT name after a rename and keeps refreshing incrementally."""
+    t = TargetTable.create(
+        spark, str(tmp_path / "r"), key_cols=["id"],
+        columns=[("commit", "string")], num_buckets=2,
+    )
+    t.merge_apply(_batch(spark, 100, 0).select("id", "commit", "_seq", "_op", "_ts"), stats="light")
+    t.build_bloom("commit")
+    t.evolve(rename={"commit": "sha"})
+    t.merge_apply(
+        _batch(spark, 150, 1000).select(
+            "id", F.col("commit").alias("sha"), "_seq", "_op", "_ts"
+        ),
+        stats="light",
+    )
+    rep = auto_maintain(t)
+    assert rep["bloom"]["sha"]["dirs_built"] > 0
+    # probe by the NEW name over both old- and new-name files
+    probe = spark.range(1).select(F.sha2(F.lit("120"), 256).alias("c")).first()["c"]
+    rows = t.read_where([("sha", "=", probe)]).collect()
+    assert len(rows) == 1 and rows[0]["id"] == "120"
+    assert t.scan_plan([("sha", "=", "ghost")])["files_read"] == 0
