@@ -18,10 +18,12 @@ Scale shape (100 TB / 1000-executor reading):
   the same codegen stage as the scan, so each table's full envelope
   parse touches only its own rows. With ``persist=True`` (default) the
   raw lines are cached across the fan-out so the text scan itself also
-  runs once; at cluster scale with very wide fan-out prefer
-  ``stage_dir``: one job writes the batch partitioned by table
-  (parquet, splittable), then every table's merge reads only its
-  partition directory — the classic one-pass demultiplex.
+  runs once; beyond a couple of routes prefer ``stage_dir``: one job
+  writes the batch partitioned by table (parquet, splittable), then
+  every table's merge reads only its partition directory — the classic
+  one-pass demultiplex. Measured (BENCH/BASELINE.md): 11x faster than
+  the cached path at 1M events x 4 tables with identical final state —
+  the cached path still re-parses EVERY line once per route.
 - Per-table merges are independent jobs on disjoint TargetTables;
   ``max_parallel_tables > 1`` submits them concurrently from driver
   threads (Spark's scheduler interleaves the stages), which is how N
