@@ -1157,6 +1157,9 @@ def q_multi_table_routing(spark, sf_dir):
             ],
             dead_letter_dir=tempfile.mkdtemp(prefix="ingestor-router-dl-"),
             max_parallel_tables=2,
+            # the measured-preferred path (11x at 1M x 4 tables): one-pass
+            # table-partitioned staging instead of cached re-parses
+            stage_dir=tempfile.mkdtemp(prefix="ingestor-router-stage-"),
         )
         router.replay([spark.read.text(wire)])
         _REPLAY_CACHE[key] = (ta.root, tb.root)
