@@ -87,12 +87,11 @@ def auto_maintain(
         if rv is not None:
             report["rewrite"] = rv
 
-    # bloom sidecars: refresh every column that already has one (the
-    # operator opted those columns in by building them once)
-    for key in table.io.list(os.path.dirname(table._bloom_path("x"))):
-        if not key.endswith(".json"):
-            continue
-        raw = table.io.get(key)
+    # bloom indexes: refresh every column that already has one (the
+    # operator opted those columns in by building them once) — discovered
+    # from the per-column index dirs under _bloom/
+    for ck_dir in table.io.list_dirs(os.path.join(table.root, "_bloom")):
+        raw = table.io.get(table._bloom_path(ck_dir))
         try:
             ck = json.loads(raw)["col"] if raw else None
         except (json.JSONDecodeError, UnicodeDecodeError, KeyError):

@@ -61,6 +61,13 @@ from data_ingestor_py_spark.storage import PosixStorage, StorageAdapter
 
 MANIFEST = "_manifest.json"
 TOMBSTONE_COLS = ("_op",)
+# Bounded manifest history: the root manifest keeps only the newest
+# HISTORY_TAIL entries; older entries roll into immutable segment files
+# under <root>/_history/ at commit time (write-ahead: the segment is
+# durable before the trimmed manifest can win its CAS). Without the bound
+# a 10^6-commit table rewrites an ever-growing log on every commit —
+# O(commits^2) cumulative metadata write.
+HISTORY_TAIL = 24
 
 
 class CommitConflict(Exception):
@@ -195,6 +202,36 @@ class TargetTable:
         intent', guarded by their own progress comparison."""
         return self._load().get("app_meta", {})
 
+    def read_history(self) -> list[dict]:
+        """The table's FULL commit history: rolled-out ``_history/``
+        segments (oldest first, in roll order) followed by the manifest's
+        bounded tail. Duplicate entries (a committer that wrote its
+        overflow segment and then lost the version CAS re-rolls the same
+        entries on retry) are dropped by exact-content identity. The live
+        manifest keeps only the newest ``HISTORY_TAIL`` entries; this is
+        the audit read path."""
+        m = self._load()
+        out: list[dict] = []
+        seen: set[str] = set()
+
+        def _add(entries):
+            for e in entries:
+                k = json.dumps(e, sort_keys=True)
+                if k not in seen:
+                    seen.add(k)
+                    out.append(e)
+
+        for seg in sorted(self.io.list(os.path.join(self.root, "_history"))):
+            raw = self.io.get(seg)
+            if raw is None:
+                continue
+            try:
+                _add(json.loads(raw))
+            except (json.JSONDecodeError, UnicodeDecodeError):
+                continue  # torn pre-seam garbage: history is informational
+        _add(m.get("history", []))
+        return out
+
     def _commit_manifest(self, m: dict) -> None:
         """Optimistic-concurrency commit (Iceberg's protocol in miniature):
 
@@ -205,17 +242,24 @@ class TargetTable:
         2. ``put`` the main pointer (atomic full-object overwrite).
 
         A crash between 1 and 2 is repaired by :meth:`_load`'s roll-forward.
-        The version files double as time-travel metadata."""
-        if m.get("stats"):
-            # GC file statistics of data dirs no longer referenced by any
-            # bucket entry (rewritten/compacted away) so the manifest stays
-            # O(live files), not O(all files ever written)
-            live = {e["path"] for e in m["buckets"].values()} | {
-                d["path"]
-                for e in m["buckets"].values()
-                for d in e.get("deltas", ())
-            }
-            m["stats"] = {k: v for k, v in m["stats"].items() if k in live}
+        The version files double as time-travel metadata.
+
+        The manifest history is trimmed to ``HISTORY_TAIL`` entries here —
+        the single choke point every commit passes through. Overflow rolls
+        into a writer-unique segment under ``_history/`` BEFORE the CAS
+        claim (write-ahead: a lost race leaves a harmless duplicate
+        segment, deduplicated by :meth:`read_history`; a crash after the
+        segment write loses nothing — the retry reloads the untrimmed
+        manifest). This keeps the root manifest O(buckets), not
+        O(commits)."""
+        hist = m.get("history", [])
+        if len(hist) > HISTORY_TAIL:
+            overflow, m["history"] = hist[:-HISTORY_TAIL], hist[-HISTORY_TAIL:]
+            seg = os.path.join(
+                self.root, "_history",
+                f"seg-v{m['version']:06d}-{uuid.uuid4().hex[:8]}.json",
+            )
+            self.io.put(seg, json.dumps(overflow).encode())
         vpath = self._version_path(m["version"])
         payload = json.dumps(m, indent=1).encode()
         if not self.io.put_if_absent(vpath, payload):
@@ -336,7 +380,7 @@ class TargetTable:
             w = w.option("maxRecordsPerFile", max_rows_per_file)
         w.parquet(out_dir)
         if m is not None and m.get("stats_keys"):
-            self._harvest_stats(m, rel)
+            self._write_stats_shard(m, rel)
         return rel, out_dir
 
     def _written_buckets(self, out_dir: str) -> set[int]:
@@ -430,22 +474,56 @@ class TargetTable:
                 out[f["name"]] = (ck, kind_w)
         return out
 
-    def _harvest_stats(self, m: dict, rel: str) -> None:
+    def _stats_shard_path(self, rel_top: str) -> str:
+        return os.path.join(self.root, rel_top, "_stats.json")
+
+    def _write_stats_shard(
+        self, m: dict, rel: str, schema_v: int | None = None
+    ) -> None:
         """Harvest per-file (min, max, null_count) from the parquet footers
-        of a just-written snapshot dir into ``m['stats']`` (keyed by the
-        same ``rel/bkt=N`` paths the bucket entries reference). Driver-side
-        metadata reads only — the parquet writer already computed the row
-        group statistics; see plans/filestats.py for the scale note."""
-        nmap = self._stats_name_map(m, m["current_schema"])
-        if not nmap:
-            return
+        of one snapshot dir into a ``_stats.json`` SHARD inside that dir —
+        NOT into the root manifest. Sharding is the 100x-scale property:
+        the root manifest stays O(buckets) and is never re-serialized with
+        O(live files x columns) of statistics per commit; each shard is
+        written once (snapshot dirs are immutable), read only when a scan
+        plans over its dir, and garbage-collected with the dir itself by
+        ``expire_snapshots`` (no separate GC). Driver-side metadata reads
+        only — the parquet writer already computed the row-group
+        statistics; see plans/filestats.py for the scale note.
+
+        The harvest runs with the (possibly empty) written-name map: an
+        empty map still lists every file with empty per-column stats,
+        which :meth:`scan_plan` treats as unprunable — never as "no
+        files" (that would silently exclude live rows)."""
+        sv = m["current_schema"] if schema_v is None else schema_v
+        nmap = self._stats_name_map(m, sv)
         out_dir = os.path.join(self.root, rel)
-        stats = m.setdefault("stats", {})
+        dirs = {}
         for d in self.io.list_dirs(out_dir):
             if d.startswith("bkt="):
-                stats[f"{rel}/{d}"] = filestats.harvest_dir(
-                    os.path.join(out_dir, d), nmap
-                )
+                dirs[d] = filestats.harvest_dir(os.path.join(out_dir, d), nmap)
+        self.io.put(
+            self._stats_shard_path(rel),
+            json.dumps(
+                {
+                    "keys": sorted(m.get("stats_keys", [])),
+                    "schema": sv,
+                    "dirs": dirs,
+                }
+            ).encode(),
+        )
+
+    def _load_stats_shard(self, rel_top: str) -> dict | None:
+        """Parse one snapshot dir's stats shard; None (= unprunable, must
+        read) for an absent or torn shard — statistics are advisory."""
+        raw = self.io.get(self._stats_shard_path(rel_top))
+        if raw is None:
+            return None
+        try:
+            doc = json.loads(raw)
+        except (json.JSONDecodeError, UnicodeDecodeError):
+            return None
+        return doc if isinstance(doc, dict) and "dirs" in doc else None
 
     def set_stats_cols(self, cols: list[str], max_retries: int = 5) -> int:
         """Enable (or change) statistics tracking on an existing table.
@@ -465,39 +543,34 @@ class TargetTable:
                 continue
         raise CommitConflict(f"set_stats_cols lost {max_retries} races")
 
-    def analyze(self, max_retries: int = 5) -> int | None:
-        """Backfill statistics for every live data dir that lacks them
-        (files written before stats were enabled, or under a schema whose
-        harvest was skipped). Footer reads only, no data rewrite. Returns
-        the committed version, or None if nothing was missing."""
-        for _ in range(max_retries):
-            m = self._load()
-            if not m.get("stats_keys"):
-                return None
-            stats = m.setdefault("stats", {})
-            missing = []
-            for e in m["buckets"].values():
-                for layer in [e] + list(e.get("deltas", ())):
-                    if layer["path"] not in stats:
-                        missing.append(layer)
-            if not missing:
-                return None
-            for layer in missing:
-                nmap = self._stats_name_map(m, layer["schema"])
-                stats[layer["path"]] = filestats.harvest_dir(
-                    os.path.join(self.root, layer["path"]), nmap
-                ) if nmap else []
-            m["version"] += 1
-            m["history"].append(
-                {"at": time.time(), "snapshot": m["version"], "op": "analyze",
-                 "dirs": len(missing)}
-            )
-            try:
-                self._commit_manifest(m)
-                return m["version"]
-            except CommitConflict:
-                continue
-        raise CommitConflict(f"analyze lost {max_retries} races")
+    def analyze(self) -> int | None:
+        """Backfill stats shards for every live snapshot dir that lacks
+        one (files written before stats were enabled) or whose shard was
+        harvested under a smaller ``stats_keys`` set (re-harvested so the
+        newly tracked columns prune too). Footer reads only, no data
+        rewrite, and NO manifest commit — shards are advisory metadata
+        outside the commit protocol, so a crash mid-backfill just leaves
+        the remaining dirs unpruned until the next call (idempotent).
+        Returns the number of dirs (re)harvested, or None if none needed
+        it."""
+        m = self._load()
+        if not m.get("stats_keys"):
+            return None
+        keys = set(m["stats_keys"])
+        tops: dict[str, int] = {}  # snap dir -> written schema version
+        for e in m["buckets"].values():
+            for layer in [e] + list(e.get("deltas", ())):
+                tops.setdefault(layer["path"].split("/", 1)[0], layer["schema"])
+        todo = []
+        for top, sv in sorted(tops.items()):
+            sh = self._load_stats_shard(top)
+            if sh is None or not keys <= set(sh.get("keys", ())):
+                todo.append((top, sv))
+        if not todo:
+            return None
+        for top, sv in todo:
+            self._write_stats_shard(m, top, schema_v=sv)
+        return len(todo)
 
     # ---------------- bloom point-lookup index (plans/bloom.py) ----------
 
@@ -511,8 +584,13 @@ class TargetTable:
                 return f"f{f['id']}"
         return None
 
+    def _bloom_base(self, colkey: str) -> str:
+        return os.path.join(self.root, "_bloom", colkey)
+
     def _bloom_path(self, colkey: str) -> str:
-        return os.path.join(self.root, "_bloom", f"{colkey}.json")
+        """The column index's params object (the piece whose corruption
+        must degrade the whole index to no-pruning)."""
+        return os.path.join(self._bloom_base(colkey), "_params.json")
 
     def _written_name(self, m: dict, schema_v: int, name: str) -> str | None:
         """The column's name as WRITTEN under ``schema_v`` (renames change
@@ -535,67 +613,108 @@ class TargetTable:
         m_bits: int = bloom.DEFAULT_M,
         k: int = bloom.DEFAULT_K,
     ) -> dict:
-        """Build/refresh the per-file Bloom sidecar for ``col``.
+        """Build/refresh the sharded per-file Bloom index for ``col``.
 
         Incremental by construction: snapshot dirs are immutable, so only
         live dirs not yet covered are scanned (one Catalyst job per
         written-schema group — value -> k positions -> bit_or words per
-        file); entries for expired dirs are dropped. Changing
-        ``m_bits``/``k`` discards the sidecar and rebuilds whole.
+        file), and each build only ADDS shards; shards of expired dirs
+        are dropped. Changing ``m_bits``/``k`` (or a column retype, which
+        changes the hashed string rendering) discards the index and
+        rebuilds whole.
 
-        The sidecar is advisory metadata OUTSIDE the manifest commit:
-        probes consult whatever build last published, pruning is sound
-        for exactly the files it covers, and a torn/missing sidecar just
-        means no pruning (bloom.BloomSidecar tolerates garbage). Files
-        with no non-NULL values get an empty word map — provably absent
-        for every probe, the strongest entry."""
+        Scale shape (the round-6 rework): the word store is written BY
+        THE CLUSTER (``partitionBy(top)`` parquet off the build job's own
+        shuffle) — the driver collects only the per-file non-NULL counts
+        (O(new files) rows), which double as the path-match witness.
+        Probes later load only the shards of dirs their scan considers.
+        Nothing on the driver is ever O(all live files x filter words).
+
+        The index is advisory metadata OUTSIDE the manifest commit:
+        pruning is sound for exactly the files it covers, and a
+        torn/missing shard just means no pruning. Files with no non-NULL
+        values are recorded ``nodata`` — provably absent for every probe,
+        the strongest entry."""
         m = self._load()
         ck = self._bloom_key(m, col)
         if ck is None:
             raise ValueError(f"unknown column {col!r}")
-        side = bloom.BloomSidecar(self.io.get(self._bloom_path(ck)))
-        doc = (
-            side.doc
-            if side.doc is not None and side.params == (m_bits, k)
-            else {"col": ck, "m": m_bits, "k": k, "dirs": {}}
-        )
+        base = self._bloom_base(ck)
         cur_type = self._bloom_col_type(m, col)
-        if doc.get("type") not in (None, cur_type):
-            # column retyped since the sidecar was built: the stored hashes
-            # used the old type's string rendering — rebuild whole
-            doc = {"col": ck, "m": m_bits, "k": k, "dirs": {}}
-        doc["type"] = cur_type
-        live: dict[str, int] = {}
+        idx = bloom.BloomIndex(self.io, base)
+        if idx.params != (m_bits, k) or idx.col_type != cur_type:
+            # params/type changed (or first build / corrupt params):
+            # discard everything and publish fresh params first — probes
+            # only trust shards whose params object is valid and current
+            self.io.delete_prefix(base)
+            self.io.put(
+                self._bloom_path(ck),
+                json.dumps(
+                    {"col": ck, "m": m_bits, "k": k, "type": cur_type}
+                ).encode(),
+            )
+            idx = bloom.BloomIndex(self.io, base)
+        live: dict[str, dict[str, int]] = {}  # top -> {leaf: schema}
         for e in m["buckets"].values():
             for layer in [e] + list(e.get("deltas", ())):
-                live[layer["path"]] = layer["schema"]
-        doc["dirs"] = {d: v for d, v in doc["dirs"].items() if d in live}
-        todo = {d: sv for d, sv in live.items() if d not in doc["dirs"]}
-        groups: dict[int, list[str]] = {}
-        for d, sv in sorted(todo.items()):
-            files = [
-                os.path.basename(p)
-                for p in self.io.list(os.path.join(self.root, d))
-                if p.endswith(".parquet")
-                and not os.path.basename(p).startswith(("_", "."))
-            ]
-            # "all" = complete dir listing (immutable dirs); "files" gets an
-            # entry ONLY when the build job path-matches the file below —
-            # an unmatched file stays entry-less and is always read
-            doc["dirs"][d] = {"all": files, "files": {}}
-            if self._written_name(m, sv, col) is not None and files:
-                groups.setdefault(sv, []).append(d)
-            else:
-                # column didn't exist under this written schema: every row
-                # reads as NULL under the current schema -> provably absent
-                doc["dirs"][d]["files"] = {f: {"w": {}} for f in files}
-        for sv, dirs in sorted(groups.items()):
-            # read under the WRITTEN schema, then align to the current one
-            # before hashing: the sidecar must store the CURRENT type's
+                top, _, leaf = layer["path"].partition("/")
+                live.setdefault(top, {})[leaf] = layer["schema"]
+        # GC shards of dirs no longer referenced by any bucket entry
+        meta_dir = os.path.join(base, "meta")
+        existing = {
+            os.path.basename(p)[:-5]
+            for p in self.io.list(meta_dir)
+            if p.endswith(".json")
+        }
+        for top in sorted(existing - set(live)):
+            self.io.delete(os.path.join(meta_dir, f"{top}.json"))
+            self.io.delete_prefix(os.path.join(base, "data", f"top={top}"))
+        # uncovered live leaves
+        todo: dict[str, dict[str, int]] = {}
+        n_covered = 0
+        for top, leaves in live.items():
+            meta = idx.raw_meta(top) if top in existing else None
+            covered_leaves = set((meta or {}).get("dirs", {}))
+            for leaf, sv in leaves.items():
+                if leaf in covered_leaves:
+                    n_covered += 1
+                else:
+                    todo.setdefault(top, {})[leaf] = sv
+        if not todo:
+            return {"dirs_built": 0, "dirs_covered": n_covered}
+        groups: dict[int, list[str]] = {}   # written schema -> [reldir]
+        absent: list[str] = []              # column absent under written schema
+        listings: dict[str, list[str]] = {}  # reldir -> complete file list
+        for top, leaves in sorted(todo.items()):
+            for leaf, sv in sorted(leaves.items()):
+                rel = f"{top}/{leaf}"
+                files = [
+                    os.path.basename(p)
+                    for p in self.io.list(os.path.join(self.root, rel))
+                    if p.endswith(".parquet")
+                    and not os.path.basename(p).startswith(("_", "."))
+                ]
+                listings[rel] = files
+                if files and self._written_name(m, sv, col) is not None:
+                    groups.setdefault(sv, []).append(rel)
+                else:
+                    # column didn't exist under this written schema: every
+                    # row reads as NULL under the current schema -> every
+                    # file is provably absent for any probe
+                    absent.append(rel)
+        flags: dict[str, dict[str, list[str]]] = {
+            rel: {"matched": [], "nodata": []} for rel in listings
+        }
+        for rel in absent:
+            flags[rel]["nodata"] = list(listings[rel])
+        data_dir = os.path.join(base, "data")
+        for sv, rels in sorted(groups.items()):
+            # read under the WRITTEN schema, cast to the CURRENT type
+            # before hashing: the shard must store the current type's
             # string rendering or probes against a retyped/renamed column
             # would hash a different string than the build did
             raw = self.spark.read.schema(self._written_ddl(m, sv)).parquet(
-                *[os.path.join(self.root, d) for d in dirs]
+                *[os.path.join(self.root, r) for r in rels]
             )
             wname = self._written_name(m, sv, col)
             df = raw.select(
@@ -603,20 +722,33 @@ class TargetTable:
                 F.input_file_name().alias("_file"),
             )
             words, counts = bloom.build_words(df, "_v", m_bits, k)
-            matched: dict[tuple[str, str], dict] = {}
+            # the cluster writes the word shards; data precedes meta so a
+            # crash here leaves unreferenced data, never dangling coverage
+            bloom.shape_words(words).write.partitionBy("top").mode(
+                "append"
+            ).parquet(data_dir)
             for r in counts.collect():
                 d, fname = self._rel_split(r["_file"])
-                entry_dir = doc["dirs"].get(d)
-                if entry_dir is not None and fname in entry_dir["all"]:
-                    entry = {"w": {}}
-                    entry_dir["files"][fname] = entry
-                    matched[(d, fname)] = entry
-            for r in words.collect():
-                e = matched.get(self._rel_split(r["_file"]))
-                if e is not None:
-                    e["w"][str(r["w"])] = r["bits"]
-        self.io.put(self._bloom_path(ck), json.dumps(doc).encode())
-        return {"dirs_built": len(todo), "dirs_covered": len(doc["dirs"])}
+                fl = flags.get(d)
+                if fl is not None and fname in listings[d]:
+                    fl["matched" if r["nn"] else "nodata"].append(fname)
+        per_top: dict[str, dict] = {}
+        for rel, files in listings.items():
+            top, _, leaf = rel.partition("/")
+            per_top.setdefault(top, {})[leaf] = {
+                "all": files,
+                "matched": sorted(flags[rel]["matched"]),
+                "nodata": sorted(flags[rel]["nodata"]),
+            }
+        n_built = 0
+        for top, dirs in sorted(per_top.items()):
+            doc = idx.raw_meta(top) or {"dirs": {}}
+            doc.setdefault("dirs", {}).update(dirs)
+            self.io.put(
+                os.path.join(meta_dir, f"{top}.json"), json.dumps(doc).encode()
+            )
+            n_built += len(dirs)
+        return {"dirs_built": n_built, "dirs_covered": n_covered + n_built}
 
     def _rel_split(self, fpath: str) -> tuple[str, str]:
         p = fpath
@@ -638,11 +770,12 @@ class TargetTable:
 
     def _bloom_probes(
         self, m: dict, preds: list[tuple[str, str, object]]
-    ) -> list[tuple["bloom.BloomSidecar", list[list[int]]]]:
-        """For each =/IN predicate with a usable sidecar: (sidecar,
+    ) -> list[tuple["bloom.BloomIndex", list[list[int]]]]:
+        """For each =/IN predicate with a usable index: (lazy shard index,
         [positions-per-candidate-value]). A file survives a predicate if
         ANY of its values may be present; it is pruned if EVERY value is
-        provably absent from the file."""
+        provably absent from the file. Shards load lazily — only the dirs
+        the scan actually consults are read, each at most once."""
         out = []
         for c, op, v in preds:
             if op not in ("=", "in"):
@@ -650,26 +783,26 @@ class TargetTable:
             ck = self._bloom_key(m, c)
             if ck is None:
                 continue
-            side = bloom.BloomSidecar(self.io.get(self._bloom_path(ck)))
-            if side.params is None:
+            idx = bloom.BloomIndex(self.io, self._bloom_base(ck))
+            if idx.params is None:
                 continue
             cur_type = self._bloom_col_type(m, c)
-            if side.doc.get("type") != cur_type:
+            if idx.col_type != cur_type:
                 continue  # column retyped since the build: stale rendering
-            mb, k = side.params
+            mb, k = idx.params
             vals = list(v) if op == "in" else [v]
             pos = bloom.probe_positions(
                 self.spark, vals, mb, k, spark_type=cur_type
             )
             if pos:
-                out.append((side, list(pos.values())))
+                out.append((idx, list(pos.values())))
         return out
 
     @staticmethod
     def _bloom_file_ok(probes, reldir: str, fname: str) -> bool:
         """True = must read (possibly present / not covered)."""
-        for side, val_positions in probes:
-            entry = side.file_entry(reldir, fname)
+        for idx, val_positions in probes:
+            entry = idx.file_entry(reldir, fname)
             if entry is None:
                 continue
             if not any(bloom.may_contain(entry, ps) for ps in val_positions):
@@ -680,16 +813,15 @@ class TargetTable:
     def _bloom_dir_prunable(probes, reldir: str) -> tuple[bool, int]:
         """(whole dir provably empty for the probe, file count if covered)."""
         n = -1
-        for side, val_positions in probes:
-            if not side.covered(reldir):
-                continue
-            files = side.dir_files(reldir)
-            n = len(side.doc["dirs"][reldir].get("all", files))
-            if not side.dir_complete(reldir):
-                continue  # an entry-less file exists: must read the dir
+        for idx, val_positions in probes:
+            nf, entries = idx.dir_entries(reldir)
+            if nf >= 0:
+                n = nf
+            if entries is None:
+                continue  # uncovered, or some file lacks a usable entry
             if all(
                 not any(bloom.may_contain(e, ps) for ps in val_positions)
-                for e in files.values()
+                for e in entries.values()
             ):
                 return True, n
         return False, n
@@ -723,7 +855,22 @@ class TargetTable:
         preds = filestats.validate_preds(preds)
         resolved = [(self._colkey(m, c), op, v) for c, op, v in preds]
         probes = self._bloom_probes(m, preds) if use_bloom else []
-        stats = m.get("stats", {})
+        # Per-snap-dir stats shards, loaded lazily and at most once per
+        # scan (shards are immutable). The root manifest carries no file
+        # statistics at all — planning reads O(live dirs) small shard
+        # objects, the Iceberg manifest-read shape, instead of the root
+        # manifest carrying (and every commit rewriting) O(files) stats.
+        shard_cache: dict[str, dict | None] = {}
+
+        def file_stats(rel: str) -> list | None:
+            top, _, leaf = rel.partition("/")
+            if top not in shard_cache:
+                shard_cache[top] = self._load_stats_shard(top)
+            sh = shard_cache[top]
+            # empty list => harvested but no usable entries: treat exactly
+            # like "no footer stats, must read" — never as an empty bucket
+            return (sh["dirs"].get(leaf) or None) if sh else None
+
         plain: list[tuple[int, str]] = []    # (schema, file-or-dir rel path)
         layered: list[tuple[int, str]] = []  # (schema, dir rel path)
         n_bkts = n_bkts_read = n_files = n_files_read = 0
@@ -737,7 +884,7 @@ class TargetTable:
         for b, info in sorted(m["buckets"].items(), key=lambda kv: int(kv[0])):
             n_bkts += 1
             layers = [info] + list(info.get("deltas", ()))
-            per_layer = [stats.get(layer["path"]) for layer in layers]
+            per_layer = [file_stats(layer["path"]) for layer in layers]
             if len(layers) == 1:
                 fs = per_layer[0]
                 if fs is None:

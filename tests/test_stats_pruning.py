@@ -90,16 +90,21 @@ def test_impossible_predicate_reads_zero_files(spark, table):
 
 
 def test_every_write_path_harvests(spark, table):
-    # merge already harvested (fixture); now purge + rewrite + bulk paths
+    # merge already harvested (fixture); now purge + rewrite paths. Stats
+    # live in per-snap-dir shards, never in the root manifest.
     m = table._load()
-    assert len(m["stats"]) == len(m["buckets"])
+    assert "stats" not in m
     table.merge_apply(_mk(spark, _rows(50, seq0=10_000, op="D")))
     table.purge_tombstones(older_than_seq=20_000)
     table.rewrite_data_files(stale_after=0)
     m = table._load()
-    live = {e["path"] for e in m["buckets"].values()}
-    assert set(m["stats"]) == live  # harvested AND gc'd to live dirs only
-    for fs in m["stats"].values():
+    assert "stats" not in m
+    for e in m["buckets"].values():
+        top, _, leaf = e["path"].partition("/")
+        sh = table._load_stats_shard(top)
+        assert sh is not None  # every write path published its shard
+        fs = sh["dirs"].get(leaf)
+        assert fs
         for f in fs:
             assert "f1" in f["st"] and "_seq" in f["st"]
 
