@@ -1392,6 +1392,87 @@ def q_stream_interval_join(spark, sf_dir):
     )
 
 
+def q_stream_interval_join_outer(spark, sf_dir):
+    """LEFT-OUTER watermarked stream-stream interval join through a REAL
+    streaming query (streaming/stream_join.py, how='left_outer'):
+    view->purchase attribution within 6 hours; a view with no purchase in
+    its window emits NULL-padded — but only after BOTH streams' watermarks
+    prove no match can still arrive (state eviction). The gate stages each
+    side as (main file, far-future sentinel file) in separate epochs so
+    the min-across-sources watermark passes every real row's eviction
+    horizon and the unmatched set flushes deterministically; the oracle is
+    the plain SQL LEFT JOIN (sentinels excluded — they never match and
+    their own unmatched rows are filtered)."""
+    import glob
+    import shutil
+
+    from data_ingestor_py_spark.streaming.stream_join import (
+        create_join_table,
+        stream_interval_join_to_table,
+    )
+
+    key = ("sjoin-outer", sf_dir)
+    if key not in _REPLAY_CACHE:
+        ev = _t(spark, sf_dir, "events")
+        far = ev.agg(
+            (F.max("ts") + F.expr("INTERVAL 1000 DAYS")).alias("far")
+        ).first()["far"]
+        d = tempfile.mkdtemp(prefix="ingestor-sjoin-outer-")
+        sides = {
+            "views": ("view", "view_id", -1),
+            "buys": ("purchase", "purchase_id", -2),
+        }
+        dirs = {}
+        base_mtime = 1_700_000_000
+        for name, (etype, idcol, sent_uid) in sides.items():
+            main = ev.where(F.col("event_type") == etype).select(
+                "user_id", F.col("event_id").alias(idcol), "ts"
+            )
+            sent = spark.createDataFrame(
+                [(sent_uid, sent_uid)], f"user_id long, {idcol} long"
+            ).select("user_id", idcol, F.lit(far).alias("ts"))
+            out = os.path.join(d, name)
+            os.makedirs(out)
+            for i, df in enumerate([main, sent]):
+                stage = os.path.join(d, f"_stage_{name}_{i}")
+                df.coalesce(1).write.mode("overwrite").parquet(stage)
+                src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
+                dst = os.path.join(out, f"f{i:03d}.parquet")
+                shutil.copy(src, dst)
+                os.utime(dst, (base_mtime + i * 60, base_mtime + i * 60))
+            dirs[name] = out
+        t = create_join_table(
+            spark, _mk("ingestor-sjoin-outer-t-"),
+            ["user_id"], "view_id", "purchase_id", num_buckets=8,
+        )
+        old_sp = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        try:
+            q = stream_interval_join_to_table(
+                spark,
+                dirs["views"], "user_id long, view_id long, ts timestamp",
+                dirs["buys"], "user_id long, purchase_id long, ts timestamp",
+                t, ["user_id"], "view_id", "purchase_id",
+                within="6 hours", watermark="1 hour",
+                how="left_outer", max_files_per_trigger=1,
+            )
+            q.awaitTermination(300)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        _REPLAY_CACHE[key] = t.root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return (
+        t.read()
+        .where(F.col("user_id").cast("long") >= 0)  # drop the sentinels
+        .select(
+            F.col("user_id").cast("long").alias("user_id"),
+            F.col("view_id").cast("long").alias("view_id"),
+            F.col("purchase_id").cast("long").alias("purchase_id"),
+            "lag_s",
+        )
+    )
+
+
 def q_snapshot_stream_handoff(spark, sf_dir):
     """Snapshot -> binlog cutover (streaming/handoff.py): an
     engine-generated consistent snapshot at LSN = max(event_id)//2
@@ -1863,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk": q_bm25_topk,
         "bm25_incremental_index": q_bm25_incremental_index,
         "stream_interval_join": q_stream_interval_join,
+        "stream_interval_join_outer": q_stream_interval_join_outer,
         "snapshot_stream_handoff": q_snapshot_stream_handoff,
         "stream_windowed_rollup": q_stream_windowed_rollup,
         "incremental_topk_leaderboard": q_incremental_topk,
@@ -2725,6 +2807,18 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT user_id, k, event_id AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' "
             f"AND value >= 50.0 AND value < 120.0 AND event_id >= 2000"
+        ),
+        # left-outer interval join == plain SQL LEFT JOIN once both
+        # watermarks passed every real row's eviction horizon (sentinel
+        # staging makes the unmatched flush deterministic)
+        "stream_interval_join_outer": (
+            "SELECT v.user_id, v.event_id AS view_id, "
+            "p.event_id AS purchase_id, "
+            "CAST(floor(epoch(p.ts) - epoch(v.ts)) AS BIGINT) AS lag_s "
+            "FROM (SELECT * FROM events WHERE event_type = 'view') v "
+            "LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ON v.user_id = p.user_id "
+            "AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 6 HOUR"
         ),
         # inner interval join is epoch-independent: plain SQL join twin
         "stream_interval_join": (

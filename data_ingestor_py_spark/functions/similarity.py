@@ -200,18 +200,22 @@ def minhash_lsh_candidates(
 def minhash_near_duplicates(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     threshold: float = 0.5, bands: int = 4, rows_per_band: int = 2,
-    max_band_size: int | None = 10_000,
+    max_band_size: int | None = None,
 ) -> DataFrame:
     """Candidates from LSH, verified by exact Jaccard on shingles.
 
-    CAVEAT when the hot-band guard engages (a (band, bh) group exceeds
-    ``max_band_size``): only the group's STAR edges are verified, so if
-    the hub happens to be a band-hash collision outlier dissimilar to the
-    rest, the group's true near-dup pairs are not emitted (they were never
-    candidates). Hot bands are overwhelmingly exact duplicates in
-    practice — run :func:`exact_dedup` first so they never form, watch
-    :func:`lsh_band_stats`, or pass ``max_band_size=None`` to restore the
-    all-pairs contract on corpora small enough to afford it."""
+    ``max_band_size`` defaults to ``None`` here — the ALL-PAIRS contract
+    (ADVICE r5: the cap must be opted into at the pair-emitting surface,
+    not silently weaken existing callers' recall). Opting in matters when
+    the hot-band guard engages (a (band, bh) group exceeds the cap): only
+    the group's STAR edges are verified, so if the hub happens to be a
+    band-hash collision outlier dissimilar to the rest, the group's true
+    near-dup pairs are not emitted (they were never candidates). The cap
+    stays default-on in :func:`minhash_lsh_candidates`, whose star edges
+    preserve connected components exactly — the clustering consumer is
+    unaffected by it. Hot bands are overwhelmingly exact duplicates in
+    practice — run :func:`exact_dedup` first so they never form, and
+    watch :func:`lsh_band_stats` for how often groups go hot."""
     cands = minhash_lsh_candidates(
         df, text_col, id_col, bands, rows_per_band, max_band_size
     )

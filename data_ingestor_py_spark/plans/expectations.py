@@ -192,7 +192,28 @@ class ExpectationSet:
 
     def quality(self, obs: Observation, rows_retained: int) -> BatchQuality:
         """Materialize the per-batch quality report after the caller's
-        action has run (``obs.get`` blocks until then)."""
+        action has run (``obs.get`` blocks until then).
+
+        Guarded against the empty-batch edge (ADVICE r5 low): a caller
+        that short-circuited an empty CDC batch without ever running an
+        action on the clean frame leaves the observation unfilled, and
+        the blocking read would wait forever. The non-blocking JVM probe
+        (``getRowOrEmpty``) detects that and reports zeros — correct for
+        the empty batch this path exists for, and a safe degradation (a
+        zeroed report, not a hang) for a caller that asks too early."""
+        jo = getattr(obs, "_jo", None)
+        if jo is not None:
+            try:
+                unfilled = jo.getRowOrEmpty().isEmpty()
+            except Exception:
+                unfilled = False  # older API shape: take the blocking read
+            if unfilled:
+                return BatchQuality(
+                    rows_in=0,
+                    rows_retained=rows_retained,
+                    violations={e.name: 0 for e in self.expectations},
+                    quarantined=0,
+                )
         got = obs.get
         return BatchQuality(
             rows_in=got["_rows_in"],

@@ -257,6 +257,17 @@ class IncrementalTopK:
             )
             # boundary rule: groups needing source re-aggregation
             r = retracts.join(bound, self.group_cols, "left_outer")
+            null_guard = F.lit(False)
+            for i in items:
+                # NULL TIEBREAK identity on either side (legal — NULL keys
+                # are real keys here): _ties_or_beats compares item columns
+                # with <, which yields NULL and filters as false, so a
+                # deleted member whose tiebreak key is NULL could ghost in
+                # the view — force re-aggregation for its group instead
+                # (ADVICE r5 low)
+                null_guard = (
+                    null_guard | F.col(i).isNull() | F.col(f"k_{i}").isNull()
+                )
             need = r.where(
                 F.col("n_stored").isNull()  # MV lag edge: treat as reagg
                 | (F.col("n_stored") < self.k)
@@ -267,6 +278,7 @@ class IncrementalTopK:
                 # re-aggregate their groups (review finding)
                 | F.col("val").isNull()
                 | F.col("kv").isNull()
+                | null_guard
                 | self._ties_or_beats(
                     F.col("val"), [F.col(i) for i in items],
                     F.col("kv"), [F.col(f"k_{i}") for i in items],
