@@ -1796,6 +1796,44 @@ def q_incremental_mv_count_distinct(spark, sf_dir):
     return dx.read().select("lang", "n_distinct")
 
 
+def q_approx_distinct_mv(spark, sf_dir):
+    """HLL approximate COUNT(DISTINCT user) maintenance
+    (plans/approx_distinct.py) — the fixed-size-state complement to the
+    exact counting view (whose aux table is O(distinct (group, value)) —
+    at corpus scale that rivals the corpus): per-group state is ONE
+    Datasketches HLL sketch, union-normalized so estimates are a pure
+    function of the value set, folded in two genuine increments so the
+    second fold must retract (groups with retractions re-aggregate from
+    the pinned source — sketches cannot subtract). DuckDB cannot
+    reproduce Datasketches estimates, so the gate returns the EXACT
+    per-group counts (oracle-comparable) plus est_ok = the MAINTAINED
+    estimate landing within the lgk=12 error budget of exact — any
+    sketch-path corruption flips it false and fails the value hash."""
+    from data_ingestor_py_spark.plans.approx_distinct import ApproxDistinct
+
+    table = TargetTable(spark, _flagship_root(spark, sf_dir))
+    ax_args = dict(group_cols=["lang"], value_col="repo")
+    key = ("axmv", sf_dir)
+    if key not in _REPLAY_CACHE:
+        aroot = _mk("ingestor-ax-")
+        ax = ApproxDistinct.create(spark, aroot, table, **ax_args)
+        cur = table._load()["version"]
+        for v in sorted({(cur + 1) // 2, cur}):
+            ax.refresh(upto_version=v)
+        _REPLAY_CACHE[key] = aroot
+    ax = ApproxDistinct(spark, _REPLAY_CACHE[key], table, **ax_args)
+    est = ax.read()
+    exact = ax.exact()
+    return exact.join(est, "lang", "left_outer").select(
+        "lang",
+        F.col("n_exact").cast("long").alias("n_distinct"),
+        (
+            F.abs(F.col("n_approx") - F.col("n_exact"))
+            <= F.greatest(F.ceil(F.col("n_exact") * 0.05), F.lit(1))
+        ).alias("est_ok"),
+    )
+
+
 def q_retention_delete(spark, sf_dir):
     """Engine-generated retention delete (TargetTable.delete_where):
     replay the CDC stream, then erase every visible row matching a
@@ -1951,6 +1989,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_minmax": q_incremental_mv_minmax,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
+        "approx_distinct_mv": q_approx_distinct_mv,
         "retention_delete": q_retention_delete,
         "incremental_join_enrich": q_incremental_join_enrich,
         "scd2_history": q_scd2_history,
@@ -2872,6 +2911,16 @@ def oracle_sql() -> dict[str, str]:
         "incremental_mv_count_distinct": (
             f"SELECT event_type AS lang, "
             f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' GROUP BY 1"
+        ),
+        # HLL approx-distinct MV: DuckDB cannot mirror Datasketches
+        # estimates, so the comparable columns are the EXACT counts plus
+        # the engine-side est-within-bound verdict (TRUE for every group
+        # iff the maintained sketch survived both folds incl. retraction)
+        "approx_distinct_mv": (
+            f"SELECT event_type AS lang, "
+            f"CAST(count(DISTINCT user_id) AS BIGINT) AS n_distinct, "
+            f"TRUE AS est_ok "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error' GROUP BY 1"
         ),
         # retention delete == replayed final state minus the erased slice
