@@ -442,6 +442,19 @@ def q_token_count_regex(spark, sf_dir):
     return docs.select("doc_id", T.token_count("text").alias("n_tokens"))
 
 
+def q_token_count_bpe(spark, sf_dir):
+    """Real BPE token counting (functions/text.py fixture merge table):
+    each whitespace word becomes a separator-delimited symbol string and
+    the ranked merges apply as a fixed chain of replace passes — pure
+    Catalyst, whole-stage codegen, no Python in the data path (the
+    pandas-UDF variant for large merge tables is parity-tested in
+    tests/test_bpe.py). The oracle replays the identical replace chain in
+    DuckDB (replace semantics — leftmost, non-overlapping, resume after
+    the replacement — agree across Java/Python/DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    return T.bpe_token_counts(docs)
+
+
 def q_ann_topk_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return S.topk_cosine(emb.where("vec_id < 8"), emb, k=5)
@@ -1969,6 +1982,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_metrics": q_quality_metrics,
         "language_id": q_language_id,
         "token_count_regex": q_token_count_regex,
+        "token_count_bpe": q_token_count_bpe,
         "stratified_sample_langs": q_stratified_sample_langs,
         "strip_boilerplate_highdf": q_strip_boilerplate_highdf,
         "repetition_gopher": q_repetition_gopher,
@@ -2042,6 +2056,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ---------------------------------------------------------------- oracles
+
+
+def _bpe_sql() -> str:
+    """DuckDB twin of functions/text.bpe_token_count: the identical
+    separator encoding and the identical (rule x pass) replace chain —
+    replace() semantics (leftmost, non-overlapping, resume after the
+    replacement) agree across Java, Python, and DuckDB, so the chain is
+    value-exact."""
+    sep = "chr(31)"
+    expr = f"{sep} || regexp_replace(w, '(?s)(.)', '\\1' || {sep}, 'g')"
+    for a, b in T.DEFAULT_BPE_MERGES:
+        pat = f"{sep} || '{a}' || {sep} || '{b}' || {sep}"
+        rep = f"{sep} || '{a}{b}' || {sep}"
+        for _ in range(T.BPE_PASSES):
+            expr = f"replace({expr}, {pat}, {rep})"
+    return (
+        f"SELECT doc_id, CAST(coalesce(list_aggregate(list_transform("
+        f"{TOKS_SQL}, w -> len(string_split({expr}, chr(31))) - 2), "
+        f"'sum'), 0) AS BIGINT) AS n_tokens_bpe FROM documents"
+    )
 
 
 def _minhash_sig_sql() -> str:
@@ -2600,6 +2634,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT doc_id, len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS n_tokens "
             f"FROM documents"
         ),
+        "token_count_bpe": _bpe_sql(),
         "ann_topk_cosine": _cosine_topk_sql(),
         "join_revenue_by_nation": (
             "SELECT n_name, "
