@@ -75,6 +75,9 @@ HEADLINE = [
     "snapshot_stream_handoff",  # added r5: LSN-floored snapshot cutover
     "zorder_pruned_scan",  # added r5: Morton clustering, 2-D file pruning
     "stream_interval_join",  # added r5: stream-stream attribution join
+    "stream_interval_join_outer",  # added r6: left-outer w/ sentinel flush
+    "approx_distinct_mv",  # added r6: HLL sketch MV (fixed-size state)
+    "token_count_bpe",  # added r6: real BPE, Catalyst replace chain
 ]
 
 

@@ -11,10 +11,34 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle entries without queries: {missing}"
 
 
-def test_gate_size():
+REGISTRY_SIZE = 82  # r6: 79 r5 gates + interval-join-outer, approx-distinct, bpe
+
+
+def test_gate_size_exact():
+    """The old `>= 25` floor stopped guarding anything at 79 gates
+    (VERDICT r5): an accidental registry truncation must fail LOUDLY.
+    Growing the registry means updating this pin AND COVERAGE.md."""
     qs, os_ = entrymod.queries(), entrymod.oracle_sql()
-    assert len(qs) >= 25
-    assert len(os_) >= 20  # exact-oracle coverage stays high
+    assert len(qs) == REGISTRY_SIZE, (
+        f"queries() holds {len(qs)} entries, expected {REGISTRY_SIZE} — "
+        "dropped gates fail here, added gates update the pin"
+    )
+    assert set(qs) == set(os_), (
+        "every gate carries a value-exact oracle; divergence: "
+        f"{sorted(set(qs) ^ set(os_))}"
+    )
+
+
+def test_every_gate_documented_in_coverage():
+    import os
+
+    cov_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "COVERAGE.md")
+    cov = open(cov_path).read()
+    undocumented = sorted(k for k in entrymod.queries() if k not in cov)
+    assert not undocumented, (
+        f"gates missing from COVERAGE.md: {undocumented}"
+    )
 
 
 def test_checkpoint_compaction_lossless(spark, tmp_path):

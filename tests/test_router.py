@@ -272,3 +272,75 @@ def test_expectations_compose_with_routes(spark, tmp_path):
     # the delete for a2 rides through (rule keeps _op='D' rows)
     assert _state_a(ra) == {("a1", 11.0)}
     assert _state_b(rb) == want_b
+
+
+def _skewed_wire(spark, n, tables, hot_frac=0.9, hot_keys=50):
+    """One wire batch where table 0 carries ~hot_frac of all events over
+    only ``hot_keys`` keys (events-per-key density — the skew that hurts
+    BOTH the stage-dir partition write and the hot table's merge), and
+    the other tables share the remainder uniformly."""
+    n_cold = len(tables) - 1
+    hot_cut = int(hot_frac * 100)
+    t = F.when(
+        F.pmod(F.col("id"), 100) < hot_cut, F.lit(tables[0])
+    ).otherwise(
+        F.element_at(
+            F.array(*[F.lit(x) for x in tables[1:]]),
+            (F.pmod(F.col("id"), n_cold) + 1).cast("int"),
+        )
+    )
+    is_hot = F.pmod(F.col("id"), 100) < hot_cut
+    key = F.when(is_hot, F.pmod(F.col("id"), hot_keys)).otherwise(F.col("id"))
+    return spark.range(n).select(
+        to_debezium_json(
+            F.struct(
+                F.concat(F.lit("k"), key).alias("k"),
+                (F.col("id") * 1.5).alias("v"),
+            ),
+            F.lit("u"),
+            F.col("id") * 1000,
+            F.col("id"),
+            table_name=t,
+        ).alias("value")
+    )
+
+
+def test_skewed_fan_out_state_equals_serial_reference(spark, tmp_path):
+    """Hot-table skew (90% of the wire on table 0, hammered onto 50
+    keys): the staged demultiplex + parallel merges + hot-route auto
+    salting must produce byte-identical per-table state to the plain
+    serial, unstaged, unsalted reference — skew mitigation can never be
+    a correctness knob. Stats must show the skew landed where expected."""
+    fields = [("k", "string"), ("v", "double")]
+    tables = ["t0", "t1", "t2", "t3"]
+    wire = _skewed_wire(spark, 4000, tables)
+
+    def mk(tag, **route_kw):
+        tts = {
+            x: TargetTable.create(
+                spark, _mkroot(f"rt-skew-{tag}-{x}-"), key_cols=["k"],
+                columns=[("v", "double")], num_buckets=4,
+            )
+            for x in tables
+        }
+        routes = [
+            TableRoute(
+                x, fields, tts[x],
+                **(route_kw if x == tables[0] else {}),
+            )
+            for x in tables
+        ]
+        return tts, routes
+
+    ref_tts, ref_routes = mk("ref")
+    DebeziumRouter(spark, _mkroot("rt-skew-refcp-"), ref_routes).replay([wire])
+
+    tts, routes = mk("stg", salt_buckets="auto", stats="full")
+    router = DebeziumRouter(
+        spark, _mkroot("rt-skew-cp-"), routes,
+        stage_dir=str(tmp_path / "stage"), max_parallel_tables=4,
+    )
+    stats = router.apply_batch(wire, 0)
+    assert stats["t0"].rows_in == 3600 and stats["t0"].rows_after_dedup == 50
+    for x in tables:
+        assert tts[x].snapshot_hash() == ref_tts[x].snapshot_hash()
