@@ -1550,6 +1550,73 @@ def q_snapshot_stream_handoff(spark, sf_dir):
     )
 
 
+def q_incremental_snapshot_cutover(spark, sf_dir):
+    """DBLog-style incremental snapshot
+    (streaming/incremental_snapshot.py): the table bootstraps from SIX
+    key-range chunks read at successive source LSNs, interleaved with
+    four live binlog epochs — no monolithic initial load, crash-resumable
+    via the chunk ledger in the table checkpoint. Chunk rows stamp
+    _seq = their read LSN, so the idempotent max-seq merge is the DBLog
+    watermark-window dedup; the global LSN floor at snapshot start
+    closes the absent-key resurrection hole. Final PAYLOAD state must
+    equal the latest-per-key over the complete event history (stored
+    _seq for keys untouched after their chunk is the chunk watermark —
+    chunk membership is xxhash-based, so the seq column is projected out
+    rather than mirrored in SQL)."""
+    from data_ingestor_py_spark.streaming.incremental_snapshot import (
+        incremental_snapshot_replay,
+    )
+
+    key = ("incsnap", sf_dir)
+    if key not in _REPLAY_CACHE:
+        cdc = _events_cdc(spark, sf_dir).cache()
+        max_lsn = int(cdc.agg(F.max("_seq")).first()[0])
+        start_lsn = max_lsn // 2
+        payload = ["repo", "path", "commit", "lang", "value"]
+        n_epochs = 4
+        span = max_lsn - start_lsn
+        lsns = [start_lsn + (span * (i + 1)) // n_epochs for i in range(n_epochs)]
+        batches, lo = [], start_lsn
+        for hi in lsns:
+            batches.append(
+                cdc.where((F.col("_seq") > lo) & (F.col("_seq") <= hi)).select(
+                    *payload, "_seq", "_op", "_ts"
+                )
+            )
+            lo = hi
+
+        def state_at(lsn):
+            # consistent source read at `lsn` — the deterministic
+            # stand-in for "SELECT chunk, note LSN" against a live DB
+            w = Window.partitionBy("repo", "path").orderBy(F.desc("_seq"))
+            return (
+                cdc.where(F.col("_seq") <= lsn)
+                .withColumn("_rn", F.row_number().over(w))
+                .where("_rn = 1")
+                .where(F.col("_op") != "D")
+                .select(*payload)
+            )
+
+        t = TargetTable.create(
+            spark, _mk("ingestor-incsnap-"),
+            key_cols=["repo", "path"],
+            columns=[("commit", "string"), ("lang", "string"), ("value", "double")],
+            num_buckets=16,
+        )
+        incremental_snapshot_replay(
+            t, batches, lsns, state_at, start_lsn=start_lsn, n_chunks=6
+        )
+        cdc.unpersist()
+        _REPLAY_CACHE[key] = t.root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return t.read().select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_stream_windowed_rollup(spark, sf_dir):
     """Watermarked event-time windowed aggregation through a REAL
     streaming query (streaming/windowed.py): daily tumbling windows per
@@ -1989,7 +2056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
         "approx_distinct_mv": q_approx_distinct_mv,
-        "incremental_join_enrich": q_incremental_join_enrich,
+        "incremental_snapshot_cutover": q_incremental_snapshot_cutover,
         "scd2_history": q_scd2_history,
         "snapshot_stream_handoff": q_snapshot_stream_handoff,
         "stream_interval_join_outer": q_stream_interval_join_outer,
@@ -2062,6 +2129,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_order_value": q_percentiles_order_value,
         "semi_anti_joins": q_semi_anti_joins,
         "set_ops_active_users": q_set_ops_active_users,
+        # r5-driver-green, module (plans/join_mv.py) untouched this round;
+        # displaced from the window by the new incremental-snapshot gate —
+        # the TargetTable metadata plane it also consumes is in-window via
+        # the eight direct gates above
+        "incremental_join_enrich": q_incremental_join_enrich,
     }
 
 
@@ -2920,6 +2992,15 @@ def oracle_sql() -> dict[str, str]:
             f"(SELECT max(event_id) // 2 FROM events) "
             f"THEN (SELECT max(event_id) // 2 FROM events) "
             f"ELSE event_id END AS last_seq, event_type, value "
+            f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # chunked bootstrap + interleaved binlog == latest payload per key
+        # over the complete history (stored _seq for chunk-sourced keys is
+        # the xxhash-assigned chunk's watermark — not SQL-mirrorable, so
+        # the gate projects payload only; the seq invariant is pytest-pinned
+        # in tests/test_incremental_snapshot.py)
+        "incremental_snapshot_cutover": (
+            f"SELECT user_id, k, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
         ),
         # closed windows == plain daily GROUP BY over the real events

@@ -11,7 +11,8 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle entries without queries: {missing}"
 
 
-REGISTRY_SIZE = 82  # r6: 79 r5 gates + interval-join-outer, approx-distinct, bpe
+REGISTRY_SIZE = 83  # r6: 79 r5 gates + interval-join-outer, approx-distinct,
+# bpe, incremental-snapshot-cutover
 
 
 def test_gate_size_exact():
