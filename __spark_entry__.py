@@ -396,6 +396,23 @@ def q_exact_dedup_documents(spark, sf_dir):
     return S.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
+def q_exact_substring_dedup(spark, sf_dir):
+    """Exact substring dedup (functions/substrdedup.py — Lee et al. 2022
+    ExactSubstr re-expressed as distributed k-gram span marking): per-doc
+    count of token positions inside any corpus-duplicated substring of
+    >= 8 tokens, plus the number of maximal such spans. by='hash' is the
+    100-TB shuffle shape (8-byte gram keys); hash == text parity is
+    pytest-pinned, and the DuckDB oracle recomputes the text-exact
+    answer independently."""
+    from data_ingestor_py_spark.functions.substrdedup import (
+        duplicated_span_stats,
+    )
+
+    return duplicated_span_stats(
+        _t(spark, sf_dir, "documents"), k=8, by="hash"
+    ).select("doc_id", "n_tokens", "dup_tokens", "n_spans")
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", S.shingles("text").alias("sh"))
     a = docs.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
@@ -2057,7 +2074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
         "approx_distinct_mv": q_approx_distinct_mv,
         "incremental_snapshot_cutover": q_incremental_snapshot_cutover,
-        "scd2_history": q_scd2_history,
+        "exact_substring_dedup": q_exact_substring_dedup,
         "snapshot_stream_handoff": q_snapshot_stream_handoff,
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "token_count_bpe": q_token_count_bpe,
@@ -2129,11 +2146,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_order_value": q_percentiles_order_value,
         "semi_anti_joins": q_semi_anti_joins,
         "set_ops_active_users": q_set_ops_active_users,
-        # r5-driver-green, module (plans/join_mv.py) untouched this round;
-        # displaced from the window by the new incremental-snapshot gate —
-        # the TargetTable metadata plane it also consumes is in-window via
-        # the eight direct gates above
+        # r5-driver-green, own modules (plans/join_mv.py, plans/scd.py)
+        # untouched this round; displaced from the window by the new
+        # incremental-snapshot and substring-dedup gates — the TargetTable
+        # metadata plane they also consume is in-window via the eight
+        # direct gates above
         "incremental_join_enrich": q_incremental_join_enrich,
+        "scd2_history": q_scd2_history,
     }
 
 
@@ -2701,6 +2720,30 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_documents": (
             "SELECT sha256(text) AS content_sha256, min(doc_id) AS canonical_id, "
             "count(*) AS n_copies FROM documents GROUP BY 1"
+        ),
+        # independent text-exact recomputation of the k-gram span marking
+        # (the Spark gate runs by='hash'; equality also certifies zero
+        # xxhash64 gram collisions on this data)
+        "exact_substring_dedup": (
+            "WITH toks AS (SELECT doc_id, regexp_split_to_array(text, '\\s+') AS t "
+            "FROM documents), "
+            "grams AS (SELECT doc_id, i - 1 AS pos, "
+            "array_to_string(t[i:i+7], ' ') AS g "
+            "FROM toks, LATERAL unnest(generate_series(1, len(t) - 7)) AS u(i) "
+            "WHERE len(t) >= 8), "
+            "dup AS (SELECT g FROM grams GROUP BY g HAVING count(*) > 1), "
+            "marked AS (SELECT DISTINCT doc_id, pos + off AS tp "
+            "FROM grams JOIN dup USING (g), "
+            "LATERAL unnest(generate_series(0, 7)) AS o(off)), "
+            "runs AS (SELECT doc_id, tp, CASE WHEN tp - lag(tp, 1, -2) "
+            "OVER (PARTITION BY doc_id ORDER BY tp) <> 1 THEN 1 ELSE 0 END AS nr "
+            "FROM marked), "
+            "per_doc AS (SELECT doc_id, count(*) AS dup_tokens, sum(nr) AS n_spans "
+            "FROM runs GROUP BY doc_id) "
+            "SELECT d.doc_id, len(regexp_split_to_array(d.text, '\\s+')) AS n_tokens, "
+            "coalesce(p.dup_tokens, 0) AS dup_tokens, "
+            "coalesce(p.n_spans, 0) AS n_spans "
+            "FROM documents d LEFT JOIN per_doc p USING (doc_id)"
         ),
         "ngram_jaccard_pairs": _ngram_pairs_sql(),
         "minhash_signatures": _minhash_sig_sql(),
