@@ -87,57 +87,112 @@ def harvest_dir(abs_dir: str, name_to_key: dict[str, tuple[str, str]]) -> list[d
     bound, do not prune on it". ``[None, None, n]`` means the column is
     entirely NULL in the file (no row can satisfy any comparison — the
     strongest possible bound). Cost: O(files) footer reads on the driver,
-    metadata-scale; on a real cluster this harvest would ride the commit
-    as a tiny distributed job over the just-written file list, exactly
-    like Iceberg writers emitting per-file stats from their tasks.
+    metadata-scale; big commits take :func:`harvest_dirs_distributed`
+    instead (TargetTable switches on the file count).
     """
+    return [
+        harvest_file(os.path.join(abs_dir, fname), fname, name_to_key)
+        for fname in sorted(os.listdir(abs_dir))
+        if fname.endswith(".parquet") and not fname.startswith(("_", "."))
+    ]
+
+
+def harvest_file(
+    path: str, fname: str, name_to_key: dict[str, tuple[str, str]]
+) -> dict:
+    """One file's footer -> one stats entry (see :func:`harvest_dir` for
+    the entry shape). Pure function of the file bytes, so it runs
+    identically on the driver or inside an executor task."""
     import pyarrow.parquet as pq
 
-    out: list[dict] = []
-    for fname in sorted(os.listdir(abs_dir)):
-        if not fname.endswith(".parquet") or fname.startswith(("_", ".")):
-            continue
-        try:
-            md = pq.ParquetFile(os.path.join(abs_dir, fname)).metadata
-        except Exception:
-            out.append({"f": fname, "rows": -1, "st": {}})
-            continue
-        # aggregate row-group stats -> file stats
-        agg: dict[str, list] = {}       # colkey -> [min, max, nulls]
-        bad: set[str] = set()           # colkeys with an unusable row group
-        for rg_i in range(md.num_row_groups):
-            rg = md.row_group(rg_i)
-            for c_i in range(rg.num_columns):
-                col = rg.column(c_i)
-                mapped = name_to_key.get(col.path_in_schema)
-                if mapped is None or mapped[0] in bad:
-                    continue
-                colkey, kind = mapped
-                st = col.statistics
-                nulls = st.null_count if st is not None else None
-                all_null = (
-                    st is not None
-                    and nulls is not None
-                    and nulls == rg.num_rows
-                )
-                if all_null:
-                    cur = agg.setdefault(colkey, [None, None, 0])
-                    cur[2] += nulls
-                    continue
-                if st is None or not st.has_min_max:
-                    bad.add(colkey)
-                    agg.pop(colkey, None)
-                    continue
-                mn, mx = _clean(st.min, kind), _clean(st.max, kind)
-                if mn is None or mx is None:
-                    bad.add(colkey)
-                    agg.pop(colkey, None)
-                    continue
+    try:
+        md = pq.ParquetFile(path).metadata
+    except Exception:
+        return {"f": fname, "rows": -1, "st": {}}
+    # aggregate row-group stats -> file stats
+    agg: dict[str, list] = {}       # colkey -> [min, max, nulls]
+    bad: set[str] = set()           # colkeys with an unusable row group
+    for rg_i in range(md.num_row_groups):
+        rg = md.row_group(rg_i)
+        for c_i in range(rg.num_columns):
+            col = rg.column(c_i)
+            mapped = name_to_key.get(col.path_in_schema)
+            if mapped is None or mapped[0] in bad:
+                continue
+            colkey, kind = mapped
+            st = col.statistics
+            nulls = st.null_count if st is not None else None
+            all_null = (
+                st is not None
+                and nulls is not None
+                and nulls == rg.num_rows
+            )
+            if all_null:
                 cur = agg.setdefault(colkey, [None, None, 0])
-                cur[0] = mn if cur[0] is None else min(cur[0], mn)
-                cur[1] = mx if cur[1] is None else max(cur[1], mx)
-                cur[2] += nulls if nulls is not None else 0
-        out.append({"f": fname, "rows": md.num_rows, "st": agg})
+                cur[2] += nulls
+                continue
+            if st is None or not st.has_min_max:
+                bad.add(colkey)
+                agg.pop(colkey, None)
+                continue
+            mn, mx = _clean(st.min, kind), _clean(st.max, kind)
+            if mn is None or mx is None:
+                bad.add(colkey)
+                agg.pop(colkey, None)
+                continue
+            cur = agg.setdefault(colkey, [None, None, 0])
+            cur[0] = mn if cur[0] is None else min(cur[0], mn)
+            cur[1] = mx if cur[1] is None else max(cur[1], mx)
+            cur[2] += nulls if nulls is not None else 0
+    return {"f": fname, "rows": md.num_rows, "st": agg}
+
+
+_HARVEST_FILES_PER_TASK = 32
+
+
+def harvest_dirs_distributed(
+    spark,
+    abs_dirs: dict[str, str],
+    name_to_key: dict[str, tuple[str, str]],
+) -> dict[str, list[dict]]:
+    """Footer harvest for many dirs as one tiny Spark job — the Iceberg
+    shape (writers emit per-file stats from their tasks; here the commit
+    emits them from a post-write task ride over the just-written file
+    list). ``abs_dirs`` maps the dir NAME (``bkt=N``) to its absolute
+    path. One task per ~32 files; each task reads only footers, never
+    data pages. The collected result is O(files-in-commit x stats_keys)
+    of metadata on the driver — the same bytes the shard JSON is about
+    to store, not a data read.
+
+    Executors open files by PATH, so this path requires storage the
+    executors can reach natively (PosixStorage / any cluster-visible
+    filesystem); TargetTable falls back to the driver harvest for
+    adapter-private storage.
+    """
+    files: list[tuple[str, str, str]] = []
+    for d, p in abs_dirs.items():
+        for fname in sorted(os.listdir(p)):
+            if fname.endswith(".parquet") and not fname.startswith(("_", ".")):
+                files.append((d, p, fname))
+    out: dict[str, list[dict]] = {d: [] for d in abs_dirs}
+    if not files:
+        return out
+    nmap = dict(name_to_key)  # plain dict: small, picklable, no self capture
+
+    def _task(it):
+        for d, p, fname in it:
+            yield d, harvest_file(os.path.join(p, fname), fname, nmap)
+
+    n_tasks = max(1, -(-len(files) // _HARVEST_FILES_PER_TASK))
+    got = (
+        spark.sparkContext.parallelize(files, n_tasks)
+        .mapPartitions(_task)
+        .collect()
+    )
+    for d, entry in got:
+        out[d].append(entry)
+    for d in out:
+        out[d].sort(key=lambda e: e["f"])
     return out
 
 

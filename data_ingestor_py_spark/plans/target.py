@@ -120,6 +120,10 @@ class MergeStats:
 class TargetTable:
     """A keyed, versioned, schema-evolving table of current row states."""
 
+    # commits writing at least this many files harvest their footer stats
+    # on the cluster instead of the driver (see _write_stats_shard)
+    DISTRIBUTED_HARVEST_MIN_FILES = 64
+
     def __init__(
         self, spark: SparkSession, root: str, storage: StorageAdapter | None = None
     ):
@@ -498,10 +502,31 @@ class TargetTable:
         sv = m["current_schema"] if schema_v is None else schema_v
         nmap = self._stats_name_map(m, sv)
         out_dir = os.path.join(self.root, rel)
-        dirs = {}
-        for d in self.io.list_dirs(out_dir):
-            if d.startswith("bkt="):
-                dirs[d] = filestats.harvest_dir(os.path.join(out_dir, d), nmap)
+        bkt_dirs = {
+            d: os.path.join(out_dir, d)
+            for d in self.io.list_dirs(out_dir)
+            if d.startswith("bkt=")
+        }
+        # Big commits harvest on the cluster (one footer-only task ride
+        # over the just-written files — the Iceberg shape); small commits
+        # stay on the driver, where a Spark job would cost more than the
+        # handful of footer reads it replaces. Adapter-private storage
+        # (executors can't open the paths) always takes the driver path.
+        n_files = sum(
+            1
+            for p in bkt_dirs.values()
+            for f in os.listdir(p)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        ) if bkt_dirs else 0
+        if (
+            n_files >= self.DISTRIBUTED_HARVEST_MIN_FILES
+            and type(self.io) is PosixStorage
+        ):
+            dirs = filestats.harvest_dirs_distributed(self.spark, bkt_dirs, nmap)
+        else:
+            dirs = {
+                d: filestats.harvest_dir(p, nmap) for d, p in bkt_dirs.items()
+            }
         self.io.put(
             self._stats_shard_path(rel),
             json.dumps(

@@ -201,3 +201,50 @@ def test_analyze_reharvests_when_stats_keys_grow(spark, tmp_path):
     assert t.scan_plan([("_seq", ">", 10**9)])["files_read"] == 0
     got = t.read_where([("_seq", "<", 10)]).count()
     assert got == t.read().where(F.col("_seq") < 10).count() > 0
+
+
+def test_distributed_harvest_equals_driver_harvest(spark, tmp_path):
+    """Above the file threshold the footer harvest rides a Spark job
+    (filestats.harvest_dirs_distributed); the shard it writes must be
+    IDENTICAL to the driver harvest's — switching paths can never change
+    pruning — and pruned reads stay exact."""
+    import json as _json
+
+    from data_ingestor_py_spark.plans import filestats
+
+    # force many files per commit so the distributed path engages
+    t = _mk(spark, tmp_path, name="dist")
+    t.DISTRIBUTED_HARVEST_MIN_FILES = 1
+    calls = {"n": 0}
+    orig = filestats.harvest_dirs_distributed
+
+    def counting(spark_, dirs, nmap):
+        calls["n"] += 1
+        return orig(spark_, dirs, nmap)
+
+    filestats.harvest_dirs_distributed = counting
+    try:
+        t.merge_apply(_batch(spark, 200, 0), stats="light")
+    finally:
+        filestats.harvest_dirs_distributed = orig
+    assert calls["n"] == 1, "distributed harvest did not engage"
+
+    m = t._load()
+    # recompute every live shard with the DRIVER path and compare
+    import os as _os
+
+    shards = [
+        d for d in t.io.list_dirs(t.root)
+        if d.startswith("snap-")
+        and t.io.exists(_os.path.join(t.root, d, "_stats.json"))
+    ]
+    assert shards
+    for rel in shards:
+        shard = _json.loads(t.io.get(_os.path.join(t.root, rel, "_stats.json")))
+        nmap = t._stats_name_map(m, shard["schema"])
+        for d, entries in shard["dirs"].items():
+            drv = filestats.harvest_dir(_os.path.join(t.root, rel, d), nmap)
+            assert entries == drv, f"shard mismatch in {rel}/{d}"
+    # pruned read correctness through the distributed-harvested shard
+    got = sorted(r["id"] for r in t.read_where([("val", "=", 91)]).collect())
+    assert got == ["13"]
