@@ -1375,6 +1375,26 @@ class TargetTable:
         bucket_cols = m.get("bucket_cols", key_cols)
         cols = self.current_columns(m)
 
+        # A batch shaped against an OLDER schema (its writer raced a
+        # concurrent evolve(), or simply upgrades lazily) NULL-fills the
+        # added payload columns — the metadata-only ADD contract: existing
+        # rows read NULL for the new column, so a stale writer's rows do
+        # too. Keys/seq/op/ts are never fillable (a batch without them is
+        # a caller bug, not a schema lag).
+        missing = [c for c in cols if c not in set(batch.columns)]
+        if missing:
+            required = set(key_cols) | {seq_col, "_op", "_ts"}
+            bad = sorted(set(missing) & required)
+            if bad:
+                raise ValueError(
+                    f"batch is missing required engine columns {bad}; only "
+                    "evolved payload columns may be absent"
+                )
+            types = {f["name"]: f["type"] for f in self.schema_fields(m)}
+            batch = batch.select(
+                "*",
+                *[F.lit(None).cast(types[c]).alias(c) for c in missing],
+            )
         batch = batch.select(*[F.col(c) for c in cols])
 
         # Job 1: touched buckets from the key + op columns only; rows_in /
@@ -1505,6 +1525,10 @@ class TargetTable:
         new_v = m["version"] + 1
         rel, _ = self._write_snap_dir(merged, new_v, m)
 
+        # the exact bucket entries this merge's state read rode on — the
+        # rebase-on-conflict check needs them byte-for-byte (entries are
+        # replaced, never mutated, so shallow refs are stable)
+        base_entries = {str(b): m["buckets"].get(str(b)) for b in touched}
         for b in touched:
             old_e = m["buckets"].get(str(b))
             entry = {"path": f"{rel}/bkt={b}", "schema": m["current_schema"]}
@@ -1525,12 +1549,87 @@ class TargetTable:
         )
         if app_meta is not None:
             m["app_meta"] = dict(app_meta)
-        self._commit_manifest(m)
+        try:
+            self._commit_manifest(m)
+        except CommitConflict:
+            m = self._rebase_merge_commit(m, base_entries, rel, app_meta)
         return MergeStats(
-            rows_in, rows_dedup, len(touched), new_v, sorted(per_bucket.items()),
+            rows_in, rows_dedup, len(touched), m["version"],
+            sorted(per_bucket.items()),
             seq_min, seq_max,
             discover_s=round(t_d1 - t_d0, 3), merge_s=round(time.time() - t_d1, 3),
             salt_used=int(salt_buckets),
+        )
+
+    def _rebase_merge_commit(
+        self, cand: dict, base_entries: dict, rel: str, app_meta: dict | None
+    ) -> dict:
+        """Iceberg-style commit rebase: a merge that lost the version CAS
+        re-targets its ALREADY-WRITTEN bucket dirs onto the winner's
+        manifest instead of recomputing the whole merge — valid exactly
+        when the winner's commit is DISJOINT from this one: identical
+        table configuration (topology, schema, merge mode, stats keys)
+        and none of this merge's touched buckets changed underneath it
+        (their entries still byte-equal the base the merge read state
+        from). Anything else re-raises :class:`CommitConflict` so
+        ``merge_apply``'s outer loop recomputes against the winner.
+
+        Why it matters at scale: parallel ingest writers sharded by key
+        range (the deployment shape for one huge CDC table) touch
+        disjoint bucket sets but ALL contend on the one version CAS —
+        without rebase every lost race repeats a full shuffle + bucket
+        rewrite, serializing the writers; with it, a lost race costs a
+        manifest reload and a second CAS. Hash-spread batches that touch
+        every bucket still recompute (the disjointness check fails) —
+        correctness never depends on the fast path.
+
+        COW merges only (the MoR delta commit has its own protocol).
+        """
+        entry = dict(cand["history"][-1])
+        for _ in range(3):
+            cur = self._load()
+            same_cfg = (
+                cur["num_buckets"] == cand["num_buckets"]
+                and cur.get("bucket_cols") == cand.get("bucket_cols")
+                and cur["current_schema"] == cand["current_schema"]
+                and cur["schemas"].get(str(cur["current_schema"]))
+                == cand["schemas"].get(str(cand["current_schema"]))
+                and cur.get("merge_mode", "cow") == "cow"
+                and sorted(cur.get("stats_keys", []))
+                == sorted(cand.get("stats_keys", []))
+            )
+            disjoint = all(
+                cur["buckets"].get(k) == e for k, e in base_entries.items()
+            )
+            if not (same_cfg and disjoint):
+                raise CommitConflict(
+                    "concurrent commit overlaps this merge's buckets or "
+                    "changed the table configuration — recomputing"
+                )
+            if not self.io.list_dirs(os.path.join(self.root, rel)):
+                # a concurrent expire_snapshots swept the not-yet-referenced
+                # output dir during the conflict window — the data is gone,
+                # only a recompute can recover
+                raise CommitConflict(
+                    "merge output dir was reclaimed during the conflict "
+                    "window — recomputing"
+                )
+            m3 = cur
+            for k in base_entries:
+                m3["buckets"][k] = cand["buckets"][k]
+            m3["version"] = cur["version"] + 1
+            entry["snapshot"] = m3["version"]
+            entry["rebased"] = True
+            m3["history"].append(dict(entry))
+            if app_meta is not None:
+                m3["app_meta"] = dict(app_meta)
+            try:
+                self._commit_manifest(m3)
+                return m3
+            except CommitConflict:
+                continue
+        raise CommitConflict(
+            "rebase lost the version CAS 3 times — recomputing the merge"
         )
 
     def _merge_delta_commit(
