@@ -78,6 +78,8 @@ HEADLINE = [
     "stream_interval_join_outer",  # added r6: left-outer w/ sentinel flush
     "approx_distinct_mv",  # added r6: HLL sketch MV (fixed-size state)
     "token_count_bpe",  # added r6: real BPE, Catalyst replace chain
+    "incremental_snapshot_cutover",  # added r6: DBLog chunked bootstrap
+    "exact_substring_dedup",  # added r6: k-gram span marking (Lee et al.)
 ]
 
 
