@@ -143,6 +143,15 @@ def main(argv: list[str] | None = None) -> int:
                           "the replay high-water mark when interleaving "
                           "with a live stream")
 
+    ins = sub.add_parser(
+        "inspect", help="query table metadata (history / files / snapshots)"
+    )
+    ins.add_argument("--target", required=True)
+    ins.add_argument("--cores", type=int, default=None)
+    ins.add_argument("what", choices=["history", "files", "snapshots"])
+    ins.add_argument("--limit", type=int, default=50,
+                     help="rows to print (newest first for history/snapshots)")
+
     ex = sub.add_parser(
         "export-changelog", help="publish a snapshot range as Debezium JSON-lines"
     )
@@ -205,6 +214,23 @@ def main(argv: list[str] | None = None) -> int:
         out["version"] = t._load()["version"]
         print(json.dumps(out))
         spark.stop()
+        return 0
+
+    if args.cmd == "inspect":
+        from data_ingestor_py_spark.plans import inspect as meta
+        from data_ingestor_py_spark.plans.target import TargetTable
+        from data_ingestor_py_spark.session import get_spark as _gs
+
+        spark = _gs("inspect", cores=args.cores)
+        spark.sparkContext.setLogLevel("ERROR")
+        t = TargetTable(spark, args.target)
+        if args.what == "history":
+            df = meta.history_df(t).orderBy("snapshot", ascending=False)
+        elif args.what == "files":
+            df = meta.files_df(t).orderBy("bucket", "layer", "file")
+        else:
+            df = meta.snapshots_df(t).orderBy("version", ascending=False)
+        df.show(args.limit, truncate=False)
         return 0
 
     if args.cmd == "export-changelog":

@@ -65,7 +65,12 @@ from data_ingestor_py_spark.plans.checkpoint import BatchRecord, Checkpoint
 from data_ingestor_py_spark.plans.replay import replay
 from data_ingestor_py_spark.plans.target import MergeStats, TargetTable
 
-__all__ = ["ChunkedSnapshot", "incremental_snapshot_replay"]
+__all__ = [
+    "ChunkedSnapshot",
+    "drain_chunks",
+    "incremental_snapshot_replay",
+    "stream_incremental_snapshot",
+]
 
 
 class ChunkedSnapshot:
@@ -249,3 +254,90 @@ def incremental_snapshot_replay(
                 cid, state, watermark, prepare=chunk_prepare
             )
     return {"epochs": records, "chunks": chunk_stats}
+
+
+def stream_incremental_snapshot(
+    spark,
+    events_dir: str,
+    row_fields: list[tuple[str, str]],
+    table: TargetTable,
+    source_state_at: Callable[[int], DataFrame],
+    start_lsn: int,
+    n_chunks: int,
+    chunks_per_epoch: int = 1,
+    prepare: Callable[[DataFrame, int], DataFrame] | None = None,
+    chunk_prepare: Callable[[DataFrame], DataFrame] | None = None,
+    **kw,
+):
+    """The streaming embodiment: chunk reads ride the REAL Debezium file
+    tail's epochs (``stream_debezium_replay``'s ``on_epoch_end`` seam —
+    fires after each epoch's merge is durable). The chunk read LSN is the
+    epoch's own delivered high watermark (``max(_seq)`` of the epoch — a
+    one-row job over the already-parsed frame, the streaming stand-in
+    for "SELECT chunk, note LSN"); an out-of-order LATER epoch carrying
+    seqs below a chunk's stamp is exactly the DBLog window race and
+    resolves through the max-seq merge (the chunk content at the stamp
+    already reflects those events).
+
+    Returns the StreamingQuery. The caller drains it
+    (``awaitTermination``) and then calls ``drain_chunks`` for any
+    chunks the delivered epochs didn't cover (short streams, or a crash
+    in the tail):
+
+        q = stream_incremental_snapshot(...); q.awaitTermination()
+        drain_chunks(table, source_state_at, current_lsn, n_chunks)
+    """
+    from data_ingestor_py_spark.streaming.stream_debezium import (
+        stream_debezium_replay,
+    )
+
+    snap = ChunkedSnapshot(table, n_chunks)
+    floor = int(start_lsn)
+
+    def floored(df: DataFrame, epoch_id: int) -> DataFrame:
+        live = df.where(F.col("_seq") > floor)
+        return (
+            prepare(live, epoch_id) if prepare is not None
+            else live.drop("src_op")
+        )
+
+    def after(epoch_id: int, ev: DataFrame) -> None:
+        pending = snap.pending_chunks()[:chunks_per_epoch]
+        if not pending:
+            return
+        row = ev.agg(F.max("_seq")).first()
+        if row is None or row[0] is None:
+            return  # empty epoch delivers no watermark to read at
+        watermark = int(row[0])
+        if watermark <= floor:
+            return  # epoch was pure re-delivery below the snapshot start
+        state = source_state_at(watermark)
+        for cid in pending:
+            snap.apply_chunk(cid, state, watermark, prepare=chunk_prepare)
+
+    return stream_debezium_replay(
+        spark, events_dir, row_fields, table,
+        prepare=floored, on_epoch_end=after, **kw,
+    )
+
+
+def drain_chunks(
+    table: TargetTable,
+    source_state_at: Callable[[int], DataFrame],
+    read_lsn: int,
+    n_chunks: int,
+    chunk_prepare: Callable[[DataFrame], DataFrame] | None = None,
+) -> dict[int, MergeStats]:
+    """Complete any chunks still pending after the stream drained (or
+    after a crash), reading them at ``read_lsn`` — the source's CURRENT
+    LSN, which is always a valid (re-)stamp."""
+    snap = ChunkedSnapshot(table, n_chunks)
+    out: dict[int, MergeStats] = {}
+    remaining = snap.pending_chunks()
+    if remaining:
+        state = source_state_at(int(read_lsn))
+        for cid in remaining:
+            out[cid] = snap.apply_chunk(
+                cid, state, int(read_lsn), prepare=chunk_prepare
+            )
+    return out

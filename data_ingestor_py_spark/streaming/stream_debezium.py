@@ -41,11 +41,19 @@ def stream_debezium_replay(
     available_now: bool = True,
     ts_ms_fallback: bool = True,
     salt_buckets: int = 0,
+    on_epoch_end: Callable[[int, DataFrame], None] | None = None,
 ):
     """Tail ``events_dir`` (JSON-lines Debezium envelopes) and merge each
     micro-batch. ``prepare(df, epoch)`` maps the normalized change events
     (row_fields + ``src_op``/``_op``/``_seq``/``_ts``) to the table's
     columns; by default the row fields ride through as-is.
+
+    ``on_epoch_end(epoch_id, events)`` runs after the epoch's merge is
+    durable (the streaming twin of ``plans.replay.replay``'s
+    ``on_batch_end`` seam) — downstream consumers that must see each
+    applied epoch (incremental snapshot chunks, MV refreshes) hook here;
+    an exception aborts the query AFTER the merge committed, so a
+    restart re-fires the hook for this epoch without re-applying it.
 
     Returns the StreamingQuery; with ``available_now`` the caller should
     ``awaitTermination()`` to drain."""
@@ -67,6 +75,8 @@ def stream_debezium_replay(
         ev = parse_debezium(df, row_fields, ts_ms_fallback=ts_ms_fallback)
         batch = prepare(ev, epoch_id) if prepare is not None else ev.drop("src_op")
         table.merge_apply(batch, salt_buckets=salt_buckets, stats="light")
+        if on_epoch_end is not None:
+            on_epoch_end(epoch_id, ev)
 
     return start_foreach_stream(stream, apply_epoch, checkpoint_dir, available_now)
 

@@ -255,3 +255,53 @@ def test_overstamping_is_the_unsound_direction(spark, tmp_path):
 
     assert _payload_state(run("true")) == _payload_state(truth)
     assert _payload_state(run("over")) != _payload_state(truth)
+
+
+def test_streaming_chunks_ride_real_epochs(spark, tmp_path):
+    """The streaming embodiment: chunk reads fire from the file tail's
+    own epochs (on_epoch_end, after each epoch's merge is durable), read
+    LSN = the epoch's delivered high watermark; a stale pre-start slab
+    on the wire exercises the floor. Final payload state == full-replay
+    truth, and the ledger shows every chunk done."""
+    from data_ingestor_py_spark.sources.debezium import to_debezium_json
+    from data_ingestor_py_spark.streaming.incremental_snapshot import (
+        drain_chunks,
+        stream_incremental_snapshot,
+    )
+
+    ev = _events(spark)
+    truth = _truth(spark, ev, tmp_path, name="truth-stream")
+    max_lsn = ev.agg(F.max("_seq")).collect()[0][0]
+    start_lsn = int(max_lsn * 0.5)
+
+    wire_rows = ev.where(F.col("_seq") > start_lsn).unionByName(
+        # at-least-once wire: re-deliver a pre-start slab (incl. inserts
+        # for keys whose pre-start delete was final)
+        ev.where(F.col("_seq") <= start_lsn // 2)
+    )
+    env = wire_rows.select(
+        to_debezium_json(
+            F.struct("repo", "path", "commit", "lang", "content"),
+            F.when(F.col("_op") == "D", "d").otherwise("u"),
+            F.unix_millis(F.col("_ts").cast("timestamp")),
+            F.col("_seq"),
+        ).alias("value")
+    )
+    src = str(tmp_path / "env")
+    env.repartition(4).write.mode("overwrite").text(src)
+
+    root = str(tmp_path / "t-stream")
+    t = TargetTable.create(spark, root, **COLS)
+    row_fields = [("repo", "string"), ("path", "string"),
+                  ("commit", "string"), ("lang", "string"),
+                  ("content", "string")]
+    q = stream_incremental_snapshot(
+        spark, src, row_fields, t,
+        source_state_at=lambda lsn: _state_at(ev, lsn),
+        start_lsn=start_lsn, n_chunks=4, chunks_per_epoch=1,
+        checkpoint_dir=str(tmp_path / "cp"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+    drain_chunks(t, lambda lsn: _state_at(ev, lsn), max_lsn, 4)
+    assert ChunkedSnapshot(t, 4).done()
+    assert _payload_state(t) == _payload_state(truth)
