@@ -1048,14 +1048,33 @@ class TargetTable:
         add: list[tuple[str, str]] | None = None,
         rename: dict[str, str] | None = None,
         retype: dict[str, str] | None = None,
+        drop: list[str] | None = None,
     ) -> int:
-        """Add/rename/retype payload columns; data files are not rewritten.
-        Returns the new schema version. Mirrors the reference's
+        """Add/rename/retype/drop payload columns; data files are not
+        rewritten. Returns the new schema version. Mirrors the reference's
         flush-then-switch mapping swap (msgbroker/sql_consumer.py:61-71),
-        but versioned and metadata-only like Iceberg UpdateSchema."""
+        but versioned and metadata-only like Iceberg UpdateSchema.
+
+        DROP is metadata-only like everything else: the field leaves the
+        current field list, old files keep the column bytes, and
+        ``_align`` simply never projects them again. Dropped field ids
+        are NEVER reused — new ids allocate above the max across ALL
+        schema versions, so re-adding a dropped column's name yields a
+        fresh field that reads NULL from old files instead of
+        resurrecting the dropped data (the Iceberg field-id contract).
+        A dropped column's stats key leaves ``stats_keys``; any bloom
+        sidecars become unreferenced (probes resolve names against the
+        current schema) and age out with their dirs. ``drop`` applies
+        AFTER ``rename``/``retype`` (use the new name) and before
+        ``add``."""
         m = self._load()
         fields = [dict(f) for f in self.schema_fields(m)]
-        max_id = max((f["id"] for f in fields), default=0)
+        # never reuse a field id: a drop removes the field from the CURRENT
+        # list, but its id stays burned (old files still map it) — max over
+        # every schema version ever committed
+        max_id = max(
+            (f["id"] for fs in m["schemas"].values() for f in fs), default=0
+        )
         for old, new in (rename or {}).items():
             for f in fields:
                 if f["name"] == old:
@@ -1064,9 +1083,26 @@ class TargetTable:
             for f in fields:
                 if f["name"] == name:
                     f["type"] = ty
+        dropped_ids: set[int] = set()
+        for name in drop or []:
+            if name in m["key_cols"] or name in (m["seq_col"], "_op", "_ts"):
+                raise ValueError(
+                    f"cannot drop {name!r}: key/sequence/engine columns are "
+                    "structural"
+                )
+            hit = next((f for f in fields if f["name"] == name), None)
+            if hit is None:
+                raise ValueError(f"cannot drop unknown column {name!r}")
+            dropped_ids.add(hit["id"])
+            fields.remove(hit)
+        if not fields and not (add or []):
+            raise ValueError("dropping every payload column leaves no table")
         for name, ty in add or []:
             max_id += 1
             fields.append({"id": max_id, "name": name, "type": ty})
+        if dropped_ids and m.get("stats_keys"):
+            burned = {f"f{i}" for i in dropped_ids}
+            m["stats_keys"] = [k for k in m["stats_keys"] if k not in burned]
         new_v = m["current_schema"] + 1
         m["schemas"][str(new_v)] = fields
         m["current_schema"] = new_v

@@ -169,3 +169,83 @@ def test_three_schema_versions_coexist(spark, tmp_path):
     assert out == {"r1": ("py", None), "r2": ("py", 3), "r3": ("py", 9)}
     [(dtype,)] = [(f.dataType.simpleString(),) for f in t.read().schema.fields if f.name == "rating"]
     assert dtype == "bigint"
+
+
+def test_drop_column_metadata_only(spark, tmp_path):
+    """DROP removes the field from reads without rewriting files; merges
+    after the drop take batches WITHOUT the column, and batches still
+    carrying it (stale writers) are harmlessly projected."""
+    t = make_table(spark, tmp_path / "t")
+    t.merge_apply(_mk(spark, [("r", "a", 1, "I", "v1")]).select(*BASE_COLS))
+
+    def _data_files():
+        return sorted(
+            k for d in t.io.list_dirs(t.root) if d.startswith("snap-")
+            for k in t.io.list(str(tmp_path / "t" / d)) if k.endswith(".parquet")
+        )
+
+    before = _data_files()
+    t.evolve(drop=["lang"])
+    assert _data_files() == before  # metadata-only: zero files rewritten
+    assert "lang" not in t.read().columns
+    # new-schema batch (no lang column)
+    slim = [c for c in BASE_COLS if c != "lang"]
+    t.merge_apply(_mk(spark, [("r", "b", 2, "I", "v2")]).select(*slim))
+    # stale writer still sending lang: extra column is ignored by the
+    # current-schema projection
+    t.merge_apply(_mk(spark, [("r", "c", 3, "I", "v3")]).select(*BASE_COLS))
+    got = {r["path"]: r["content"] for r in t.read().collect()}
+    assert got == {"a": "v1", "b": "v2", "c": "v3"}
+
+
+def test_drop_then_readd_never_resurrects(spark, tmp_path):
+    """The field-id contract: re-adding a dropped column's NAME allocates
+    a FRESH id, so rows written before the re-add read NULL — never the
+    dropped column's old bytes (Iceberg's resurrection trap)."""
+    t = make_table(spark, tmp_path / "t")
+    t.merge_apply(_mk(spark, [("r", "a", 1, "I", "v1")]).select(*BASE_COLS))
+    m0 = t._load()
+    old_id = next(f["id"] for f in t.schema_fields(m0) if f["name"] == "lang")
+    t.evolve(drop=["lang"])
+    t.evolve(add=[("lang", "string")])
+    m1 = t._load()
+    new_id = next(f["id"] for f in t.schema_fields(m1) if f["name"] == "lang")
+    assert new_id != old_id, "dropped field id was reused"
+    rows = {r["path"]: r["lang"] for r in t.read().collect()}
+    assert rows == {"a": None}  # old file's 'py' bytes stay dead
+    # and the reborn column works for new writes
+    slim = [c for c in BASE_COLS if c != "lang"]
+    t.merge_apply(
+        _mk(spark, [("r", "b", 2, "I", "v2")])
+        .withColumn("lang2", F.lit("go"))
+        .select(*slim[:5], F.col("lang2").alias("lang"), *slim[5:])
+    )
+    rows = {r["path"]: r["lang"] for r in t.read().collect()}
+    assert rows == {"a": None, "b": "go"}
+
+
+def test_drop_guards(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t")
+    with pytest.raises(ValueError, match="structural"):
+        t.evolve(drop=["repo"])
+    with pytest.raises(ValueError, match="structural"):
+        t.evolve(drop=["_seq"])
+    with pytest.raises(ValueError, match="unknown column"):
+        t.evolve(drop=["nope"])
+    with pytest.raises(ValueError, match="no table"):
+        t.evolve(drop=["commit", "lang", "content", "_content_sha256"])
+
+
+def test_drop_strips_stats_key_and_pruning_survives(spark, tmp_path):
+    t = make_table(spark, tmp_path / "t", stats_cols=["lang", "_seq"])
+    t.merge_apply(_mk(spark, [("r", "a", 1, "I", "v1"),
+                              ("r", "b", 2, "I", "v2")]).select(*BASE_COLS))
+    keys_before = set(t._load()["stats_keys"])
+    t.evolve(drop=["lang"])
+    keys_after = set(t._load()["stats_keys"])
+    assert keys_after < keys_before and "_seq" in keys_after
+    # merges + pruned reads on the surviving key still work
+    slim = [c for c in BASE_COLS if c != "lang"]
+    t.merge_apply(_mk(spark, [("r", "c", 9, "I", "v3")]).select(*slim))
+    got = sorted(r["path"] for r in t.read_where([("_seq", ">=", 2)]).collect())
+    assert got == ["b", "c"]
