@@ -1567,6 +1567,55 @@ def q_snapshot_stream_handoff(spark, sf_dir):
     )
 
 
+def q_toast_carry_forward(spark, sf_dir):
+    """Debezium unchanged-TOAST semantics (plans/target.py
+    merge_apply(unavailable_sentinel=...)): update images where
+    event_id % 7 == 3 ship the __debezium_unavailable_value placeholder
+    in the commit column; the merge resolves each placeholder to the
+    key's previous stored value inside its own window pass (zero extra
+    shuffles), with tombstones breaking the chain. Batches are
+    CONTIGUOUS seq ranges — the ordered delivery a real binlog
+    guarantees per key, and what makes stored-resolution == global
+    resolution. Oracle recomputes the carry chain in SQL."""
+    from data_ingestor_py_spark.sources.debezium import UNAVAILABLE_VALUE
+
+    key = ("toast", sf_dir)
+    if key not in _REPLAY_CACHE:
+        cdc = _events_cdc(spark, sf_dir)
+        sent = F.when(
+            (F.col("_op") == "U") & (F.col("event_id") % 7 == 3),
+            F.lit(UNAVAILABLE_VALUE),
+        ).otherwise(F.col("commit"))
+        cdc = cdc.withColumn("commit", sent).cache()
+        max_lsn = int(cdc.agg(F.max("_seq")).first()[0])
+        bounds = [(max_lsn * (i + 1)) // 4 for i in range(4)]
+        t = TargetTable.create(
+            spark, _mk("ingestor-toast-"),
+            key_cols=["repo", "path"],
+            columns=[("commit", "string"), ("lang", "string"), ("value", "double")],
+            num_buckets=16,
+        )
+        lo = -1
+        for hi in bounds:
+            batch = cdc.where((F.col("_seq") > lo) & (F.col("_seq") <= hi)).select(
+                "repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts"
+            )
+            t.merge_apply(batch, stats="light",
+                          unavailable_sentinel=UNAVAILABLE_VALUE)
+            lo = hi
+        cdc.unpersist()
+        _REPLAY_CACHE[key] = t.root
+    t = TargetTable(spark, _REPLAY_CACHE[key])
+    return t.read().select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("commit"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_incremental_snapshot_cutover(spark, sf_dir):
     """DBLog-style incremental snapshot
     (streaming/incremental_snapshot.py): the table bootstraps from SIX
@@ -2075,7 +2124,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "approx_distinct_mv": q_approx_distinct_mv,
         "incremental_snapshot_cutover": q_incremental_snapshot_cutover,
         "exact_substring_dedup": q_exact_substring_dedup,
-        "snapshot_stream_handoff": q_snapshot_stream_handoff,
+        "toast_carry_forward": q_toast_carry_forward,
         "stream_interval_join_outer": q_stream_interval_join_outer,
         "token_count_bpe": q_token_count_bpe,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
@@ -2153,6 +2202,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # direct gates above
         "incremental_join_enrich": q_incremental_join_enrich,
         "scd2_history": q_scd2_history,
+        "snapshot_stream_handoff": q_snapshot_stream_handoff,
     }
 
 
@@ -3036,6 +3086,32 @@ def oracle_sql() -> dict[str, str]:
             f"THEN (SELECT max(event_id) // 2 FROM events) "
             f"ELSE event_id END AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # the TOAST carry chain recomputed in SQL: per key in event order,
+        # a sentinel resolves to the last real image unless a delete broke
+        # the chain (marker struct + last_value IGNORE NULLS — the exact
+        # window the engine's merge pass runs)
+        "toast_carry_forward": (
+            f"WITH ev AS (SELECT user_id, k, event_id, event_type, value, "
+            f"CASE WHEN event_type <> 'error' AND event_id % 7 = 3 "
+            f"THEN '__debezium_unavailable_value' "
+            f"ELSE substr(sha256(CAST(event_id AS VARCHAR)), 1, 40) END AS commit, "
+            f"(event_type = 'error') AS is_del FROM ({cdc_base})), "
+            f"carried AS (SELECT *, last_value(CASE WHEN is_del THEN "
+            f"{{'brk': true, 'v': CAST(NULL AS VARCHAR)}} "
+            f"WHEN commit <> '__debezium_unavailable_value' THEN "
+            f"{{'brk': false, 'v': commit}} END IGNORE NULLS) "
+            f"OVER (PARTITION BY user_id, k ORDER BY event_id "
+            f"ROWS UNBOUNDED PRECEDING) AS carry FROM ev), "
+            f"resolved AS (SELECT user_id, k, event_id, event_type, value, "
+            f"CASE WHEN commit = '__debezium_unavailable_value' THEN "
+            f"(CASE WHEN carry IS NOT NULL AND NOT carry.brk THEN carry.v END) "
+            f"ELSE commit END AS commit FROM carried), "
+            f"lastr AS (SELECT *, row_number() OVER (PARTITION BY user_id, k "
+            f"ORDER BY event_id DESC) AS rn FROM resolved) "
+            f"SELECT user_id, k, event_id AS last_seq, commit, "
+            f"event_type, value FROM lastr "
+            f"WHERE rn = 1 AND event_type <> 'error'"
         ),
         # chunked bootstrap + interleaved binlog == latest payload per key
         # over the complete history (stored _seq for chunk-sourced keys is

@@ -1325,11 +1325,21 @@ class TargetTable:
         auto_salt_min_rows: int = 100_000,
         auto_salt_skew_ratio: float = 8.0,
         app_meta: dict | None = None,
+        unavailable_sentinel: str | None = None,
     ) -> MergeStats:
         """Apply one micro-batch of change events. On a concurrent-writer
         commit conflict the whole merge is recomputed against the winner's
         snapshot and retried (losers' work is discarded, like Iceberg's
         optimistic retry) up to ``max_commit_retries`` times.
+
+        ``unavailable_sentinel`` enables Debezium TOAST semantics: a
+        string payload column equal to the sentinel (the wire placeholder
+        ``__debezium_unavailable_value``) means "unchanged — carry the
+        previous value forward". Resolution rides the merge's own sorted
+        window pass (zero extra shuffles); a sentinel with no previous
+        value, or whose chain crosses a tombstone, resolves to NULL.
+        COW tables only, and incompatible with ``salt_buckets`` (the
+        salted pre-reduce discards the older rows the carry needs).
 
         ``app_meta`` is an opaque application dict committed ATOMICALLY
         inside the table manifest (``manifest["app_meta"]``) with this
@@ -1355,7 +1365,7 @@ class TargetTable:
             try:
                 st = self._merge_apply_once(
                     batch, salt_buckets, stats, auto_salt_min_rows,
-                    auto_salt_skew_ratio, app_meta,
+                    auto_salt_skew_ratio, app_meta, unavailable_sentinel,
                 )
                 break
             except CommitConflict:
@@ -1383,6 +1393,7 @@ class TargetTable:
         auto_salt_min_rows: int = 100_000,
         auto_salt_skew_ratio: float = 8.0,
         app_meta: dict | None = None,
+        unavailable_sentinel: str | None = None,
     ) -> MergeStats:
         """Apply one micro-batch of change events.
 
@@ -1410,6 +1421,22 @@ class TargetTable:
         key_cols, seq_col, B = m["key_cols"], m["seq_col"], m["num_buckets"]
         bucket_cols = m.get("bucket_cols", key_cols)
         cols = self.current_columns(m)
+
+        if unavailable_sentinel is not None:
+            if m.get("merge_mode") == "mor":
+                raise ValueError(
+                    "unavailable_sentinel needs the COW merge: MoR delta "
+                    "layers defer the winner rule to read time, where the "
+                    "carried previous value is no longer in hand — compact "
+                    "to COW or resolve sentinels upstream"
+                )
+            if salt_buckets:
+                raise ValueError(
+                    "unavailable_sentinel is incompatible with salt_buckets: "
+                    "the salted pre-reduce keeps only each salt group's "
+                    "max-seq row, discarding the older rows the carry "
+                    "resolves from"
+                )
 
         # A batch shaped against an OLDER schema (its writer raced a
         # concurrent evolve(), or simply upgrades lazily) NULL-fills the
@@ -1538,25 +1565,34 @@ class TargetTable:
         unioned = state.unionByName(with_bkt)
 
         payload = [c for c in cols if c not in key_cols and c != seq_col]
-        # (measured: a leading xxhash64 sort-prefix column does not beat the
-        # plain string sort here and costs 8B/row of shuffle — keep it simple)
-        w = Window.partitionBy("bkt").orderBy(
-            *[F.asc(c) for c in key_cols], F.desc(seq_col), *[F.desc(c) for c in payload]
-        )
-        # NULL-safe group-start detection: a row starts a new key group iff
-        # it is the partition's first row (lag over a constant is NULL only
-        # there) or any key column differs null-safely from its predecessor.
-        # A plain `prev != col` would mark EVERY row whose predecessor key is
-        # NULL as a group start, so NULL-keyed events would never dedup and
-        # tombstones could not reject late NULL-key upserts.
-        key_changed = F.lag(F.lit(1)).over(w).isNull()
-        for c in key_cols:
-            key_changed = key_changed | ~F.lag(c).over(w).eqNullSafe(F.col(c))
-        merged = (
-            unioned.withColumn("_is_first", key_changed)
-            .where(F.col("_is_first"))
-            .select(*cols, "bkt")
-        )
+        if unavailable_sentinel is not None:
+            merged = self._merge_window_carry(
+                m, unioned, cols, key_cols, seq_col, payload,
+                unavailable_sentinel,
+            )
+        else:
+            # (measured: a leading xxhash64 sort-prefix column does not beat
+            # the plain string sort here and costs 8B/row of shuffle — keep
+            # it simple)
+            w = Window.partitionBy("bkt").orderBy(
+                *[F.asc(c) for c in key_cols], F.desc(seq_col),
+                *[F.desc(c) for c in payload]
+            )
+            # NULL-safe group-start detection: a row starts a new key group
+            # iff it is the partition's first row (lag over a constant is
+            # NULL only there) or any key column differs null-safely from
+            # its predecessor. A plain `prev != col` would mark EVERY row
+            # whose predecessor key is NULL as a group start, so NULL-keyed
+            # events would never dedup and tombstones could not reject late
+            # NULL-key upserts.
+            key_changed = F.lag(F.lit(1)).over(w).isNull()
+            for c in key_cols:
+                key_changed = key_changed | ~F.lag(c).over(w).eqNullSafe(F.col(c))
+            merged = (
+                unioned.withColumn("_is_first", key_changed)
+                .where(F.col("_is_first"))
+                .select(*cols, "bkt")
+            )
 
         new_v = m["version"] + 1
         rel, _ = self._write_snap_dir(merged, new_v, m)
@@ -1595,6 +1631,109 @@ class TargetTable:
             seq_min, seq_max,
             discover_s=round(t_d1 - t_d0, 3), merge_s=round(time.time() - t_d1, 3),
             salt_used=int(salt_buckets),
+        )
+
+    def _merge_window_carry(
+        self,
+        m: dict,
+        unioned: DataFrame,
+        cols: list[str],
+        key_cols: list[str],
+        seq_col: str,
+        payload: list[str],
+        sentinel: str,
+    ) -> DataFrame:
+        """The merge window pass with UNAVAILABLE-VALUE carry-forward —
+        Debezium's TOAST semantics: Postgres omits unchanged TOASTed
+        columns from update images, so the wire carries a placeholder
+        (``__debezium_unavailable_value``) meaning "unchanged, fetch the
+        previous value". The previous value is exactly what this pass
+        already has in hand — stored state and batch rows share the one
+        bucket-partitioned sort — so resolution rides the same single
+        Exchange as the plain merge, in ASCENDING seq order:
+
+        - a run id numbers each key's row group (same NULL-safe
+          key-change detection as the plain pass, prefix-summed);
+        - per string payload column, a running ``last(marker)`` carries
+          the most recent REAL value (3-state marker: real value / break
+          at a tombstone / nothing at a sentinel) — a sentinel row
+          resolves to the carried value only when the carry comes from
+          ITS OWN run and did not cross a tombstone (a delete breaks the
+          chain: re-inserted rows never resurrect pre-delete column
+          values);
+        - the winner is the run's LAST row (same row the descending
+          pass would pick: max seq, payload-desc tie-break).
+
+        Only string columns can hold the placeholder; other types pass
+        through untouched. Unresolvable sentinels (first image ever, or
+        chain broken by a tombstone) resolve to NULL — "value unknown",
+        stated in merge_apply's docs.
+        """
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("bkt").orderBy(
+            *[F.asc(c) for c in key_cols], F.asc(seq_col),
+            *[F.asc(c) for c in payload]
+        )
+        key_changed = F.lag(F.lit(1)).over(w).isNull()
+        for c in key_cols:
+            key_changed = key_changed | ~F.lag(c).over(w).eqNullSafe(F.col(c))
+        run = F.sum(key_changed.cast("long")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        with_run = unioned.withColumn("_run", run)
+        w_run = Window.partitionBy("bkt").orderBy(
+            *[F.asc(c) for c in key_cols], F.asc(seq_col),
+            *[F.asc(c) for c in payload]
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+        str_payload = {
+            f["name"] for f in self.schema_fields(m) if f["type"] == "string"
+        }
+        out_cols = []
+        for c in cols:
+            if c not in str_payload or c in key_cols or c == seq_col:
+                out_cols.append(F.col(c))
+                continue
+            is_sent = F.col(c).eqNullSafe(F.lit(sentinel))
+            marker = (
+                F.when(
+                    F.col("_op") == "D",
+                    F.struct(
+                        F.col("_run").alias("r"),
+                        F.lit(True).alias("brk"),
+                        F.lit(None).cast("string").alias("v"),
+                    ),
+                )
+                .when(
+                    ~is_sent,
+                    F.struct(
+                        F.col("_run").alias("r"),
+                        F.lit(False).alias("brk"),
+                        F.col(c).alias("v"),
+                    ),
+                )
+                # sentinel rows emit no marker: last() skips them, so the
+                # carry seen AT a sentinel row is the latest real/break
+                # strictly before it in the run order
+            )
+            carry = F.last(marker, ignorenulls=True).over(w_run)
+            resolved = F.when(
+                is_sent,
+                F.when(
+                    (carry["r"] == F.col("_run")) & ~carry["brk"], carry["v"]
+                ),
+            ).otherwise(F.col(c))
+            out_cols.append(resolved.alias(c))
+        # winner = the run's last row: the NEXT row is the partition's end
+        # or a new key (NULL-safe, mirrored with lead)
+        next_new = F.lead(F.lit(1)).over(w).isNull()
+        for c in key_cols:
+            next_new = next_new | ~F.lead(c).over(w).eqNullSafe(F.col(c))
+        return (
+            with_run.select(*out_cols, "bkt", next_new.alias("_is_last"))
+            .where(F.col("_is_last"))
+            .select(*cols, "bkt")
         )
 
     def _rebase_merge_commit(

@@ -41,6 +41,12 @@ _TYPE_MAP = {
     "timestamp": T.TimestampType(),
 }
 
+# Debezium's placeholder for a column the source did not re-send on an
+# update image (Postgres unchanged-TOAST semantics): "unchanged — fetch
+# the previous value". Pass it as merge_apply(unavailable_sentinel=...)
+# to resolve it in the merge's own window pass.
+UNAVAILABLE_VALUE = "__debezium_unavailable_value"
+
 
 def debezium_schema(row_fields: list[tuple[str, str]]) -> T.StructType:
     """Envelope schema for ``from_json`` given the table's row fields as

@@ -11,8 +11,8 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle entries without queries: {missing}"
 
 
-REGISTRY_SIZE = 84  # r6: 79 r5 gates + interval-join-outer, approx-distinct,
-# bpe, incremental-snapshot-cutover, exact-substring-dedup
+REGISTRY_SIZE = 85  # r6: 79 r5 gates + interval-join-outer, approx-distinct,
+# bpe, incremental-snapshot-cutover, exact-substring-dedup, toast-carry-forward
 
 
 def test_gate_size_exact():
