@@ -42,6 +42,7 @@ def stream_debezium_replay(
     ts_ms_fallback: bool = True,
     salt_buckets: int = 0,
     on_epoch_end: Callable[[int, DataFrame], None] | None = None,
+    unavailable_sentinel: str | None = None,
 ):
     """Tail ``events_dir`` (JSON-lines Debezium envelopes) and merge each
     micro-batch. ``prepare(df, epoch)`` maps the normalized change events
@@ -74,7 +75,10 @@ def stream_debezium_replay(
             ).json(os.path.join(dead_letter_dir, f"epoch={epoch_id}"))
         ev = parse_debezium(df, row_fields, ts_ms_fallback=ts_ms_fallback)
         batch = prepare(ev, epoch_id) if prepare is not None else ev.drop("src_op")
-        table.merge_apply(batch, salt_buckets=salt_buckets, stats="light")
+        table.merge_apply(
+            batch, salt_buckets=salt_buckets, stats="light",
+            unavailable_sentinel=unavailable_sentinel,
+        )
         if on_epoch_end is not None:
             on_epoch_end(epoch_id, ev)
 

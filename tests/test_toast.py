@@ -137,3 +137,34 @@ def test_mixed_sentinel_and_late_events(spark, tmp_path):
     v = t._load()["version"]
     t.merge_apply(b1, unavailable_sentinel=S)
     assert _state(t) == {"a": ("V1", 2, 8)}
+
+
+def test_streaming_path_resolves_sentinels(spark, tmp_path):
+    """The placeholder resolves through the real streaming tail too
+    (stream_debezium_replay passthrough)."""
+    from data_ingestor_py_spark.sources.debezium import to_debezium_json
+    from data_ingestor_py_spark.streaming.stream_debezium import (
+        stream_debezium_replay,
+    )
+
+    t = _mk(spark, tmp_path)
+    rows = spark.createDataFrame(
+        [("a", "BLOB", 1, 1, "u"), ("a", S, 2, 2, "u")],
+        "id string, big string, small long, lsn long, op string",
+    )
+    env = rows.select(
+        to_debezium_json(
+            F.struct("id", "big", "small"), F.col("op"),
+            F.col("lsn") * 1000, F.col("lsn"),
+        ).alias("value")
+    )
+    src = str(tmp_path / "env")
+    env.coalesce(1).write.mode("overwrite").text(src)
+    q = stream_debezium_replay(
+        spark, src,
+        [("id", "string"), ("big", "string"), ("small", "long")],
+        t, checkpoint_dir=str(tmp_path / "cp"),
+        unavailable_sentinel=S,
+    )
+    q.awaitTermination(120)
+    assert _state(t) == {"a": ("BLOB", 2, 2)}
