@@ -53,3 +53,34 @@ def test_checkpoint_compaction_lossless(spark, tmp_path):
     assert n == 5
     assert {r["batch_id"] for r in cp.read().collect()} == before
     assert cp.committed_batches() == before
+
+# Round-6 window policy (COVERAGE.md): gates REQUIRED inside the driver's
+# first-50 window — every gate new this round, plus the full r5 tail
+# (no r5 driver row -> must get an r6 one). An accidental dict reorder
+# silently drops driver coverage; this pins it structurally.
+R6_MUST_BE_IN_WINDOW = [
+    # new this round
+    "stream_interval_join_outer", "approx_distinct_mv", "token_count_bpe",
+    "incremental_snapshot_cutover", "exact_substring_dedup",
+    "toast_carry_forward",
+    # the full r5 tail (29)
+    "dedup_latest_by_key", "join_revenue_by_nation", "neardup_clusters",
+    "dedup_salted_latest", "mapping_projection", "flatten_explode_tokens",
+    "broadcast_dict_join", "vectorized_normalize", "vocab_top100",
+    "groupby_argmax_mode", "agg_pricing_summary", "session_window_native",
+    "ngram_jaccard_pairs", "sessionize_events", "multimodal_decode_features",
+    "multimodal_resize", "multimodal_frame_sample", "ann_topk_cosine",
+    "ann_lsh_bucketed", "ann_ivf_topk", "ivf_trained_topk",
+    "embedding_cosine_neardup", "asof_join_purchase_value",
+    "range_join_event_bursts", "train_val_test_split", "pack_sequences",
+    "decontaminate_benchmark", "kmeans_centroids", "sessionize_stream_closed",
+]
+
+
+def test_round6_window_composition():
+    window = list(entrymod.queries())[:50]
+    missing = [k for k in R6_MUST_BE_IN_WINDOW if k not in window]
+    assert not missing, (
+        f"gates required in the driver's first-50 window are outside it: "
+        f"{missing}"
+    )
