@@ -80,6 +80,7 @@ HEADLINE = [
     "token_count_bpe",  # added r6: real BPE, Catalyst replace chain
     "incremental_snapshot_cutover",  # added r6: DBLog chunked bootstrap
     "exact_substring_dedup",  # added r6: k-gram span marking (Lee et al.)
+    "toast_carry_forward",  # added r6: unchanged-TOAST carry in the merge
 ]
 
 
