@@ -2095,7 +2095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 82 gates are still value-checked locally every round by
+    # All 85 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     #
     # Round 6: the metadata-plane refactor touches the shared TargetTable,
@@ -2104,7 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evolution, retention, routing), plus the three new gates and the
     # gates of the modules with r6 code changes (topk_mv, expectations,
     # similarity default); the rest of the window is the full 29-gate r5
-    # tail per invariant (2). Union r5∪r6 covers all 82.
+    # tail per invariant (2). Union r5∪r6 covers all 85.
     return {
         # -- touched by the r6 metadata plane / module changes, or new --
         "cdc_merge_full_replay": q_cdc_merge_full_replay,

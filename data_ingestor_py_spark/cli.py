@@ -231,6 +231,7 @@ def main(argv: list[str] | None = None) -> int:
         else:
             df = meta.snapshots_df(t).orderBy("version", ascending=False)
         df.show(args.limit, truncate=False)
+        spark.stop()
         return 0
 
     if args.cmd == "export-changelog":

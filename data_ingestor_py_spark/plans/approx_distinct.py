@@ -167,6 +167,13 @@ class ApproxDistinct:
                     & img(c, True).eqNullSafe(img(c, False))
                 )
             )
+        else:
+            # a KEY column can never change inside an update image (the
+            # key identifies the row), so U rows neither add nor retract
+            # a key-valued distinct member — without this, every update
+            # on a key-valued view routes its group through the absolute
+            # re-aggregation scan (self-review r6 finding)
+            delta = delta.where(F.col("_change_type") != "U")
         retracts = (
             delta.where(F.col("_change_type") != "I")
             .where(img(c, True).isNotNull())

@@ -256,8 +256,20 @@ class TargetTable:
         segment write loses nothing — the retry reloads the untrimmed
         manifest). This keeps the root manifest O(buckets), not
         O(commits)."""
+        # pre-r6 manifests carried per-file stats inline ("stats"); the r6
+        # plane stores them as per-dir shards instead. Strip the dead blob
+        # so an upgraded table stops re-serializing O(files x columns) of
+        # stale metadata on every commit (it was also never read again —
+        # run analyze() once after upgrading to repopulate shard pruning).
+        m.pop("stats", None)
         hist = m.get("history", [])
-        if len(hist) > HISTORY_TAIL:
+        # Roll overflow in HISTORY_TAIL-sized batches, not one entry per
+        # commit: trimming at TAIL+1 would PUT a one-entry segment on
+        # EVERY commit past saturation (O(commits) tiny objects and an
+        # extra write on the hot path). Letting the in-manifest tail grow
+        # to 2x before rolling amortizes the segment write to once per
+        # TAIL commits while keeping the manifest O(1).
+        if len(hist) >= 2 * HISTORY_TAIL:
             overflow, m["history"] = hist[:-HISTORY_TAIL], hist[-HISTORY_TAIL:]
             seg = os.path.join(
                 self.root, "_history",
@@ -1682,10 +1694,9 @@ class TargetTable:
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
         with_run = unioned.withColumn("_run", run)
-        w_run = Window.partitionBy("bkt").orderBy(
-            *[F.asc(c) for c in key_cols], F.asc(seq_col),
-            *[F.asc(c) for c in payload]
-        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        # same spec as w — derived, not re-declared, so a future sort edit
+        # can never desynchronize the carry window from the run numbering
+        w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
         str_payload = {
             f["name"] for f in self.schema_fields(m) if f["type"] == "string"

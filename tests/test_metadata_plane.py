@@ -43,17 +43,24 @@ def _mk(spark, tmp_path, name="t", **kw):
 def test_manifest_bytes_flat_while_commits_and_files_grow(spark, tmp_path):
     t = _mk(spark, tmp_path)
     sizes = []
-    for i in range(30):
+    n = 2 * HISTORY_TAIL + 12  # run well past the first overflow roll
+    for i in range(n):
         t.merge_apply(_batch(spark, 60, i * 1000), stats="light")
         sizes.append(os.path.getsize(t._manifest_path))
     m = t._load()
     assert "stats" not in m  # no per-file statistics in the root manifest
-    assert len(m["history"]) <= HISTORY_TAIL
+    # the tail oscillates in [TAIL, 2*TAIL): overflow rolls in TAIL-sized
+    # batches (one segment PUT per TAIL commits), never one entry per
+    # commit (r6 self-review finding)
+    assert len(m["history"]) < 2 * HISTORY_TAIL
     assert m["history"][-1]["snapshot"] == m["version"]  # MV progress reads
-    # once the history tail saturates, further commits stop growing the
-    # manifest (the old design grew it by one history entry + refreshed
-    # stats per commit, forever)
-    assert sizes[-1] <= sizes[25] * 1.02
+    # bounded, not monotone: after the first roll the manifest never
+    # exceeds its pre-roll peak (the old design grew it by one history
+    # entry + refreshed stats per commit, forever)
+    assert max(sizes[2 * HISTORY_TAIL:]) <= max(sizes[: 2 * HISTORY_TAIL])
+    # segment count amortizes: ~1 per HISTORY_TAIL commits, not per commit
+    segs = t.io.list(os.path.join(t.root, "_history"))
+    assert 1 <= len(segs) <= 1 + n // HISTORY_TAIL
     # now explode the live FILE count ~10x via a clustering rewrite with
     # tiny files: per-file stats volume grows 10x, the manifest must not
     before = os.path.getsize(t._manifest_path)
@@ -73,11 +80,11 @@ def test_manifest_bytes_flat_while_commits_and_files_grow(spark, tmp_path):
 
 def test_read_history_complete_across_segments(spark, tmp_path):
     t = _mk(spark, tmp_path, name="h", stats_cols=None)
-    n = HISTORY_TAIL + 12
+    n = 2 * HISTORY_TAIL + 12  # past the (batched) first overflow roll
     for i in range(n):
         t.merge_apply(_batch(spark, 20, i * 1000), stats="light")
     m = t._load()
-    assert len(m["history"]) <= HISTORY_TAIL
+    assert len(m["history"]) < 2 * HISTORY_TAIL
     segs = t.io.list(os.path.join(t.root, "_history"))
     assert segs  # overflow really rolled out
     hist = t.read_history()
@@ -248,3 +255,22 @@ def test_distributed_harvest_equals_driver_harvest(spark, tmp_path):
     # pruned read correctness through the distributed-harvested shard
     got = sorted(r["id"] for r in t.read_where([("val", "=", 91)]).collect())
     assert got == ["13"]
+
+
+def test_legacy_inline_stats_blob_is_stripped_on_next_commit(spark, tmp_path):
+    """Pre-r6 manifests carried per-file stats inline under m['stats'];
+    the r6 plane never reads it. The first commit on an upgraded table
+    must strip the dead blob instead of re-serializing it forever."""
+    import json as _json
+
+    t = _mk(spark, tmp_path, name="legacy")
+    t.merge_apply(_batch(spark, 30, 0), stats="light")
+    # simulate the pre-r6 layout: inject the inline blob into the live
+    # manifest object (pointer only; the version token stays clean)
+    raw = _json.loads(t.io.get(t._manifest_path))
+    raw["stats"] = {"snap-000001-dead": [{"f": "x.parquet", "rows": 1, "st": {}}]}
+    t.io.put(t._manifest_path, _json.dumps(raw).encode())
+    assert "stats" in t._load()
+    t.merge_apply(_batch(spark, 30, 1000), stats="light")
+    assert "stats" not in t._load()
+    assert "stats" not in _json.loads(t.io.get(t._manifest_path))
