@@ -1567,6 +1567,23 @@ def q_snapshot_stream_handoff(spark, sf_dir):
     )
 
 
+def q_time_travel_read(spark, sf_dir):
+    """Snapshot time travel (plans/target.py read_version): the flagship
+    replay commits four batches as versions 1..4; reading AS OF version 2
+    must reproduce the exact table state after batches 0 and 1 — the
+    events with event_id % 4 <= 1 — long after versions 3 and 4
+    superseded it. The per-version manifest objects written by the commit
+    CAS double as the time-travel metadata; no data is copied."""
+    t = TargetTable(spark, _flagship_root(spark, sf_dir))
+    return t.read_version(2).select(
+        F.col("repo").cast("long").alias("user_id"),
+        F.col("path").cast("long").alias("k"),
+        F.col("_seq").alias("last_seq"),
+        F.col("lang").alias("event_type"),
+        F.col("value"),
+    )
+
+
 def q_toast_carry_forward(spark, sf_dir):
     """Debezium unchanged-TOAST semantics (plans/target.py
     merge_apply(unavailable_sentinel=...)): update images where
@@ -2095,7 +2112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # inside the window — so no gate goes more than one round without a
     # driver verification; (3) the tail holds only gates that are
     # driver-green in the immediately preceding round with untouched code.
-    # All 85 gates are still value-checked locally every round by
+    # All 86 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     #
     # Round 6: the metadata-plane refactor touches the shared TargetTable,
@@ -2104,7 +2121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # evolution, retention, routing), plus the three new gates and the
     # gates of the modules with r6 code changes (topk_mv, expectations,
     # similarity default); the rest of the window is the full 29-gate r5
-    # tail per invariant (2). Union r5∪r6 covers all 85.
+    # tail per invariant (2). Union r5∪r6 covers all 86.
     return {
         # -- touched by the r6 metadata plane / module changes, or new --
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
@@ -2120,8 +2137,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "expectations_quality": q_expectations_quality,
         "incremental_topk_leaderboard": q_incremental_topk,
         "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
-        "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
         "approx_distinct_mv": q_approx_distinct_mv,
+        "time_travel_read": q_time_travel_read,
         "incremental_snapshot_cutover": q_incremental_snapshot_cutover,
         "exact_substring_dedup": q_exact_substring_dedup,
         "toast_carry_forward": q_toast_carry_forward,
@@ -2203,6 +2220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_join_enrich": q_incremental_join_enrich,
         "scd2_history": q_scd2_history,
         "snapshot_stream_handoff": q_snapshot_stream_handoff,
+        "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
     }
 
 
@@ -3086,6 +3104,16 @@ def oracle_sql() -> dict[str, str]:
             f"THEN (SELECT max(event_id) // 2 FROM events) "
             f"ELSE event_id END AS last_seq, event_type, value "
             f"FROM ({last}) WHERE rn = 1 AND event_type <> 'error'"
+        ),
+        # state AS OF version 2 == latest per key over the prefix batches
+        # (event_id % 4 <= 1), deletes removed — the same v2 the
+        # changes-between oracle builds
+        "time_travel_read": (
+            f"WITH ranked2 AS (SELECT *, row_number() OVER (PARTITION BY "
+            f"user_id, k ORDER BY event_id DESC) AS rn FROM ({cdc_base}) "
+            f"WHERE event_id % 4 <= 1) "
+            f"SELECT user_id, k, event_id AS last_seq, event_type, value "
+            f"FROM ranked2 WHERE rn = 1 AND event_type <> 'error'"
         ),
         # the TOAST carry chain recomputed in SQL: per key in event order,
         # a sentinel resolves to the last real image unless a delete broke

@@ -81,6 +81,7 @@ HEADLINE = [
     "incremental_snapshot_cutover",  # added r6: DBLog chunked bootstrap
     "exact_substring_dedup",  # added r6: k-gram span marking (Lee et al.)
     "toast_carry_forward",  # added r6: unchanged-TOAST carry in the merge
+    "time_travel_read",  # added r6: AS-OF read off the version tokens
 ]
 
 

@@ -157,3 +157,38 @@ def test_rebase_refuses_when_output_dir_swept(spark, tmp_path):
             rel="snap-999999-deadbeef",   # never existed
             app_meta=None,
         )
+
+
+def test_real_concurrent_disjoint_writers_converge(spark, tmp_path):
+    """Two ACTUAL concurrent writers (threads, separate TargetTable
+    handles) on disjoint key ranges: both commits must land (one may
+    rebase, one may recompute — either is legal), versions are distinct,
+    and the final state is the exact union."""
+    import threading
+
+    by_b = _ids_by_bucket(spark)
+    ids_a = by_b[0] + by_b[1] + by_b[2]
+    ids_b = by_b[5] + by_b[6] + by_b[7]
+    t = _mk(spark, tmp_path)
+    errs = []
+
+    def run(ids, seq0):
+        try:
+            w = TargetTable(spark, t.root)
+            w.merge_apply(_batch(spark, ids, seq0), stats="light")
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errs.append(e)
+
+    th_a = threading.Thread(target=run, args=(ids_a, 1000))
+    th_b = threading.Thread(target=run, args=(ids_b, 2000))
+    th_a.start(); th_b.start()
+    th_a.join(300); th_b.join(300)
+    assert not errs, errs
+    m = t._load()
+    assert m["version"] == 2  # both commits landed as distinct versions
+    got = {r["id"]: r["_seq"] for r in t.read().collect()}
+    assert len(got) == len(ids_a) + len(ids_b)
+    for n, i in enumerate(ids_a):
+        assert got[i] == 1000 + n
+    for n, i in enumerate(ids_b):
+        assert got[i] == 2000 + n

@@ -11,8 +11,9 @@ def test_every_oracle_has_a_query():
     assert not missing, f"oracle entries without queries: {missing}"
 
 
-REGISTRY_SIZE = 85  # r6: 79 r5 gates + interval-join-outer, approx-distinct,
-# bpe, incremental-snapshot-cutover, exact-substring-dedup, toast-carry-forward
+REGISTRY_SIZE = 86  # r6: 79 r5 gates + interval-join-outer, approx-distinct,
+# bpe, incremental-snapshot-cutover, exact-substring-dedup,
+# toast-carry-forward, time-travel-read
 
 
 def test_gate_size_exact():
@@ -62,7 +63,7 @@ R6_MUST_BE_IN_WINDOW = [
     # new this round
     "stream_interval_join_outer", "approx_distinct_mv", "token_count_bpe",
     "incremental_snapshot_cutover", "exact_substring_dedup",
-    "toast_carry_forward",
+    "toast_carry_forward", "time_travel_read",
     # the full r5 tail (29)
     "dedup_latest_by_key", "join_revenue_by_nation", "neardup_clusters",
     "dedup_salted_latest", "mapping_projection", "flatten_explode_tokens",
