@@ -408,9 +408,19 @@ def q_exact_substring_dedup(spark, sf_dir):
         duplicated_span_stats,
     )
 
+    # Dtype alignment with the frozen DuckDB oracle (r6 driver red row):
+    # the oracle's sum(INT) n_spans comes back HUGEINT -> float64 in
+    # pandas and its len() n_tokens is int64, while Spark naturally emits
+    # bigint/int32. Values are identical; the driver's row hash is
+    # dtype-sensitive, so cast the Spark side to the oracle's widths.
     return duplicated_span_stats(
         _t(spark, sf_dir, "documents"), k=8, by="hash"
-    ).select("doc_id", "n_tokens", "dup_tokens", "n_spans")
+    ).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_tokens",
+        F.col("n_spans").cast("double").alias("n_spans"),
+    )
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir):
