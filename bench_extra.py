@@ -37,6 +37,9 @@ def main() -> None:
 
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     extra = {}
+    for kv in filter(None, os.environ.get("BENCH_EXTRA_CONF", "").split(";")):
+        k, _, v = kv.partition("=")
+        extra[k.strip()] = v.strip()
     evdir = os.environ.get("BENCH_EXTRA_EVENTLOG")
     if evdir:
         os.makedirs(evdir, exist_ok=True)

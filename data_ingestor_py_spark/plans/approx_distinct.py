@@ -262,6 +262,8 @@ class ApproxDistinct:
                     F.current_timestamp().alias("_ts"),
                 ),
                 stats="light",
+                # group-scale sketches; lineage = diff + sketch agg, run once
+                persist_batch=True,
             )
         finally:
             retracts.unpersist()
@@ -301,7 +303,7 @@ class ApproxDistinct:
             F.lit(v_to).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
         )
-        st = self.table.merge_apply(merged, stats="light")
+        st = self.table.merge_apply(merged, stats="light", persist_batch=True)
         t1 = time.time()
         rec = BatchRecord(
             batch_id=v_to, src_offset_start=-1, src_offset_end=v_to,

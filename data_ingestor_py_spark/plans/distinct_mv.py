@@ -281,6 +281,7 @@ class IncrementalDistinct:
         st = self.table.merge_apply(
             upserts,
             stats="light",
+            persist_batch=True,  # group-scale output, transition-fold lineage
             app_meta={
                 "consumer": "distinct",
                 "synced_from": v_from,
@@ -318,9 +319,11 @@ class IncrementalDistinct:
             *[F.col(g).cast("string").alias(g) for g in self.group_cols],
             F.col(self.value_col).cast("string").alias("_dv"),
         ).where(F.col("_dv").isNotNull())
+        # four downstream actions (two merges x two passes each) would
+        # otherwise re-run the full source aggregation four times
         want = src.groupBy(*self.group_cols, "_dv").agg(
             F.count(F.lit(1)).alias("mult")
-        )
+        ).persist()
         cur = self.aux.read().select(*self.group_cols, "_dv", "mult")
         cond = F.lit(True)
         for g in self.group_cols + ["_dv"]:
@@ -334,15 +337,21 @@ class IncrementalDistinct:
             F.lit(v_to).cast("long").alias("_seq"),
             F.current_timestamp().alias("_ts"),
         )
-        self.aux.merge_apply(
-            merged, stats="light",
-            app_meta={
-                "consumer": "distinct_aux",
-                "src_from": -1,
-                "src_upto": v_to,
-                "aux_prev_version": aux_prev,
-            },
-        )
+        try:
+            self.aux.merge_apply(
+                merged, stats="light",
+                app_meta={
+                    "consumer": "distinct_aux",
+                    "src_from": -1,
+                    "src_upto": v_to,
+                    "aux_prev_version": aux_prev,
+                },
+            )
+            return self._reseed_agg(want, v_to, t0)
+        finally:
+            want.unpersist()
+
+    def _reseed_agg(self, want, v_to: int, t0: float) -> BatchRecord:
         want_g = want.groupBy(*self.group_cols).agg(
             F.count(F.lit(1)).cast("long").alias("_want")
         )

@@ -285,6 +285,9 @@ class IncrementalJoin:
             st = self.table.merge_apply(
                 batch,
                 stats="light",
+                # delta-sized batch whose lineage is the changelog diff +
+                # dim join — cache it across the merge's two actions
+                persist_batch=True,
                 # progress rides the SAME manifest commit as the rows:
                 # no fold/progress crash gap exists by construction
                 app_meta=progress,
@@ -345,7 +348,9 @@ class IncrementalJoin:
             "join_synced_a": va,
             "join_synced_b": vb,
         }
-        st = self.table.merge_apply(upserts, stats="light", app_meta=progress)
+        st = self.table.merge_apply(
+            upserts, stats="light", persist_batch=True, app_meta=progress
+        )
         if self.synced_versions() != (va, vb):
             # empty rebuild (both sources empty): merge early-returned;
             # make the progress durable anyway (see refresh())

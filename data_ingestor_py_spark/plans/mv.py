@@ -393,6 +393,10 @@ class IncrementalAggregate:
             st = self.table.merge_apply(
                 upserts,
                 stats="light",
+                # the fold output is group-scale but its lineage is the
+                # whole changelog diff + aggregate — cache it so the
+                # merge's two actions run the diff once, not twice
+                persist_batch=True,
                 # committed atomically with the fold: makes the fold/
                 # checkpoint gap crash-recoverable (_roll_forward_pending)
                 app_meta={
@@ -462,6 +466,7 @@ class IncrementalAggregate:
         st = self.table.merge_apply(
             upserts,
             stats="light",
+            persist_batch=True,  # group-scale output, full-recompute lineage
             app_meta={
                 "consumer": "mv",
                 "mv_synced_from": -1,

@@ -419,24 +419,37 @@ def scd2_apply(
     open_t = history.open
     m = open_t._load()
     B, bucket_cols = m["num_buckets"], m.get("bucket_cols")
-    # deliberately NOT persisted: the deduped batch feeds five consumers,
-    # but three of them (range aggregate, touched-bucket collect, firsts)
-    # are NARROW — column pruning reaches the scan and the re-executed
-    # dedup agg runs over one or two columns. Caching would materialize
-    # the full width once and deny pruning to every consumer; measured at
-    # sf0.1 that costs ~2s/apply (6.4s vs 4.1s steady).
+    # deliberately NOT persisted: the deduped batch feeds several
+    # consumers, but the discovery aggregate and firsts are NARROW —
+    # column pruning reaches the scan and the re-executed dedup window
+    # runs over two or three columns. Caching materializes the full
+    # width once and denies pruning to every consumer; measured at
+    # sf0.1 as a loss BOTH in r6 (6.4s vs 4.1s steady per apply) and
+    # again in r7 after the discovery fusion below (24.4s vs 17.5s for
+    # the 4-apply gate).
     batch = _one_change_per_seq(batch, key_cols, seq_col)
 
     # segment identity = the deduped batch's seq range (batches are
     # non-overlapping binlog segments); also the idempotence key. The
     # trailing s<schema> records the open table's schema version at write
     # time so read_closed can field-id-align old segments after evolve().
-    rng = batch.agg(
+    # One pass computes BOTH the range and the touched-bucket set (they
+    # were two separate jobs over the same deduped batch): group by
+    # bucket, fold per-bucket range/count, combine on the driver.
+    brows = batch.groupBy(
+        _bucket_expr(bucket_cols, B).alias("bkt")
+    ).agg(
         F.min(seq_col).alias("lo"), F.max(seq_col).alias("hi"),
         F.count(F.lit(1)).alias("n"),
-    ).collect()[0]
-    if rng["n"] == 0:
+    ).collect()
+    if not brows:
         return Scd2Stats(0, 0, None, m["version"])
+    rng = {
+        "lo": min(r["lo"] for r in brows),
+        "hi": max(r["hi"] for r in brows),
+        "n": sum(r["n"] for r in brows),
+    }
+    touched = sorted(r["bkt"] for r in brows)
     seg_name = (
         f"seg-{rng['lo']:020d}-{rng['hi']:020d}-{rng['n']}-s{m['current_schema']}"
     )
@@ -458,13 +471,7 @@ def scd2_apply(
     firsts = batch.groupBy(*key_cols).agg(F.min(seq_col).alias("_first_seq"))
 
     # 2) currently-open rows for the batch's keys, bucket-pruned (the
-    #    open table holds ONE row per live key — bounded, never history)
-    touched = sorted(
-        r["bkt"]
-        for r in batch.select(
-            _bucket_expr(bucket_cols, B).alias("bkt")
-        ).distinct().collect()
-    )
+    #    open table holds ONE row per live key — bounded, never history).
     # RAW state including delete tombstones: a tombstone carries the
     # delete's seq as valid_from, which is exactly what the late guard
     # needs — without it, late events for a DELETED key would sail past
@@ -539,7 +546,9 @@ def scd2_apply(
             F.when(F.col(op_col) == "D", F.lit("D")).otherwise(F.lit("U")).alias(op_col),
             F.col(ts_col),
         )
-        st = open_t.merge_apply(upserts, stats="light")
+        # upserts is one row per batch key but its lineage re-runs the
+        # chaining window — cache it across the merge's two actions
+        st = open_t.merge_apply(upserts, stats="light", persist_batch=True)
     finally:
         joined.unpersist()
     return Scd2Stats(

@@ -1338,11 +1338,23 @@ class TargetTable:
         auto_salt_skew_ratio: float = 8.0,
         app_meta: dict | None = None,
         unavailable_sentinel: str | None = None,
+        persist_batch: bool = False,
     ) -> MergeStats:
         """Apply one micro-batch of change events. On a concurrent-writer
         commit conflict the whole merge is recomputed against the winner's
         snapshot and retried (losers' work is discarded, like Iceberg's
         optimistic retry) up to ``max_commit_retries`` times.
+
+        ``persist_batch=True`` caches the input for the duration of the
+        merge. The merge is two actions (bucket discovery, then the merge
+        itself), so an un-persisted batch has its WHOLE lineage executed
+        twice; for a batch that is itself an expensive computed delta (an
+        MV fold over a changelog diff, a streaming epoch's join output)
+        that doubles the refresh cost, while the batch is delta-sized and
+        caches for free. Leave it off (default) when the batch is a cheap
+        pruned scan — caching then materializes the full row width once
+        and denies column pruning to the keys-only discovery pass (the
+        replay path measured slower with it).
 
         ``unavailable_sentinel`` enables Debezium TOAST semantics: a
         string payload column equal to the sentinel (the wire placeholder
@@ -1373,16 +1385,21 @@ class TargetTable:
         nothing.
         """
         st = None
-        for attempt in range(max_commit_retries + 1):
-            try:
-                st = self._merge_apply_once(
-                    batch, salt_buckets, stats, auto_salt_min_rows,
-                    auto_salt_skew_ratio, app_meta, unavailable_sentinel,
-                )
-                break
-            except CommitConflict:
-                if attempt == max_commit_retries:
-                    raise
+        cached = batch.persist() if persist_batch else batch
+        try:
+            for attempt in range(max_commit_retries + 1):
+                try:
+                    st = self._merge_apply_once(
+                        cached, salt_buckets, stats, auto_salt_min_rows,
+                        auto_salt_skew_ratio, app_meta, unavailable_sentinel,
+                    )
+                    break
+                except CommitConflict:
+                    if attempt == max_commit_retries:
+                        raise
+        finally:
+            if persist_batch:
+                cached.unpersist()
         # MoR auto-compaction rides OUTSIDE the merge's conflict-retry: a
         # compaction race must never re-apply the (already committed) merge.
         # compact_bucket_deltas does its own conflict retries internally.

@@ -357,6 +357,7 @@ class IncrementalTopK:
             st = self.table.merge_apply(
                 upserts,
                 stats="light",
+                persist_batch=True,  # k-per-group output, diff+reagg lineage
                 app_meta={
                     "consumer": "topk",
                     "mv_synced_from": v_from,
@@ -429,6 +430,7 @@ class IncrementalTopK:
         )
         st = self.table.merge_apply(
             upserts, stats="light",
+            persist_batch=True,  # k-per-group output, full-recompute lineage
             app_meta={
                 "consumer": "topk",
                 "mv_synced_from": -1,

@@ -534,8 +534,10 @@ def replay_debezium_with_ddl(
             *[c for c, _ in fields], "_seq", "_op", "_ts"
         )
         # merge_apply no-ops empty batches itself — probing emptiness here
-        # would cost a full extra parse job per epoch
-        table.merge_apply(batch)
+        # would cost a full extra parse job per epoch. The batch is
+        # epoch-sized and its lineage re-parses every envelope, so cache
+        # it across the merge's two actions.
+        table.merge_apply(batch, persist_batch=True)
         if change is not None and change["columns"] is not None:
             spec = table_change_to_evolution(table, change["columns"])
             if spec["add"] or spec["retype"]:

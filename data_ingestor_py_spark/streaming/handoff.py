@@ -97,4 +97,8 @@ def replay_after_snapshot(
     """Batch flavor of the floored tail (one raw envelope frame)."""
     ev = parse_debezium(raw, row_fields, ts_ms_fallback=ts_ms_fallback)
     batch = ev.where(F.col("_seq") > snapshot_lsn).drop("src_op")
-    return table.merge_apply(batch, salt_buckets=salt_buckets, stats="light")
+    # binlog-segment-sized, and its lineage re-parses every JSON envelope —
+    # cache so the parse runs once across the merge's two actions
+    return table.merge_apply(
+        batch, salt_buckets=salt_buckets, stats="light", persist_batch=True
+    )

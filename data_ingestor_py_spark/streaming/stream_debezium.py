@@ -78,6 +78,9 @@ def stream_debezium_replay(
         table.merge_apply(
             batch, salt_buckets=salt_buckets, stats="light",
             unavailable_sentinel=unavailable_sentinel,
+            # epoch-sized, and its lineage re-parses every JSON envelope —
+            # cache so the parse runs once per epoch, not per merge action
+            persist_batch=True,
         )
         if on_epoch_end is not None:
             on_epoch_end(epoch_id, ev)

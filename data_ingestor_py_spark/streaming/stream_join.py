@@ -157,7 +157,10 @@ def stream_interval_join_to_table(
             F.lit("U").alias("_op"),
             F.lit(None).cast("timestamp").alias("_ts"),
         )
-        table.merge_apply(batch, stats="light")
+        # foreachBatch frames re-execute their lineage per action, and the
+        # merge is two actions — cache the (epoch-sized) join output so the
+        # stateful join stage runs once per epoch, not twice
+        table.merge_apply(batch, stats="light", persist_batch=True)
 
     return start_foreach_stream(
         joined, apply_epoch, checkpoint_dir, available_now,

@@ -136,7 +136,9 @@ def stream_windowed_to_table(
             F.lit("U").alias("_op"),
             F.lit(None).cast("timestamp").alias("_ts"),
         )
-        table.merge_apply(batch, stats="light")
+        # epoch-sized window rollup; cache across the merge's two actions
+        # (foreachBatch frames re-execute the windowed agg per action)
+        table.merge_apply(batch, stats="light", persist_batch=True)
 
     return start_foreach_stream(
         stream, apply_epoch, checkpoint_dir, available_now,
