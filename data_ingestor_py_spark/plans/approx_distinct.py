@@ -141,7 +141,12 @@ class ApproxDistinct:
         t0 = time.time()
         src_keys = set(self.source._load()["key_cols"])
         try:
-            delta = self.source.diff_versions(v_from, v_to, old_image=True)
+            # persisted: retracts and inserts are separate reads of the
+            # same diff subtree — cache so the full-outer changelog join
+            # runs once
+            delta = self.source.diff_versions(
+                v_from, v_to, old_image=True
+            ).persist()
         except FileNotFoundError as e:
             if auto_reseed:
                 return self.reseed()
@@ -267,6 +272,7 @@ class ApproxDistinct:
             )
         finally:
             retracts.unpersist()
+            delta.unpersist()
         t1 = time.time()
         rec = BatchRecord(
             batch_id=v_to, src_offset_start=v_from, src_offset_end=v_to,

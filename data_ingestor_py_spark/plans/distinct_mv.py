@@ -202,17 +202,31 @@ class IncrementalDistinct:
                 return F.col(col)
             return F.col(f"_old_{col}")
 
-        def side(old: bool) -> DataFrame:
-            keep = delta.where(F.col("_change_type") != ("I" if old else "D"))
-            return keep.select(
+        def side_struct(old: bool):
+            # sign is NULL when this side does not apply to the row's
+            # change type (old side of an I, new side of a D) — filtered
+            # after the explode
+            applies = F.col("_change_type") != ("I" if old else "D")
+            return F.struct(
                 *[img(g, old).cast("string").alias(g) for g in self.group_cols],
                 img(c, old).cast("string").alias("_dv"),
-                F.lit(-1 if old else 1).cast("long").alias("_s"),
-            ).where(F.col("_dv").isNotNull())  # COUNT DISTINCT ignores NULL
+                F.when(applies, F.lit(-1 if old else 1))
+                .cast("long")
+                .alias("_s"),
+            )
 
+        # both delta sides in ONE pass over the diff: a union of two
+        # projections would carry the (un-deduped) diff subtree twice in
+        # the plan, running the full-outer changelog join once per side
         d = (
-            side(False)
-            .unionByName(side(True))
+            delta.select(
+                F.explode(
+                    F.array(side_struct(False), side_struct(True))
+                ).alias("_e")
+            )
+            .select("_e.*")
+            # COUNT DISTINCT ignores NULL values; NULL sign = side n/a
+            .where(F.col("_s").isNotNull() & F.col("_dv").isNotNull())
             .groupBy(*self.group_cols, "_dv")
             .agg(F.sum("_s").alias("_dm"))
             .where(F.col("_dm") != 0)

@@ -191,8 +191,14 @@ class IncrementalJoin:
                 f"fk_cols {self.fk_cols} vs dim keys {dim_keys}: arity mismatch"
             )
         try:
+            # d_fact persisted: it feeds three places in the upsert plan
+            # (the re-join projection, the delete branch, and the
+            # changed-dim anti-join) and Catalyst does not dedupe the
+            # shared diff subtree — cache so the full-outer changelog
+            # join runs once
             d_fact = (
-                self.fact.diff_versions(va0, va1) if va1 > va0 else None
+                self.fact.diff_versions(va0, va1).persist()
+                if va1 > va0 else None
             )
             d_dim = self.dim.diff_versions(vb0, vb1) if vb1 > vb0 else None
         except FileNotFoundError as e:
@@ -302,6 +308,8 @@ class IncrementalJoin:
                 self.table.commit_app_meta(progress)
         finally:
             ups.unpersist()
+            if d_fact is not None:
+                d_fact.unpersist()
         t1 = time.time()
         rec = BatchRecord(
             batch_id=seq, src_offset_start=va1, src_offset_end=vb1,

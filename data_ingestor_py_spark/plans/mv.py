@@ -234,7 +234,13 @@ class IncrementalAggregate:
         t0 = time.time()
         key_cols = set(self.source._load()["key_cols"])
         try:
-            delta = self.source.diff_versions(v_from, v_to, old_image=True)
+            # persisted: the old-image and new-image sides below are two
+            # union branches over the SAME diff subtree, and Catalyst does
+            # not dedupe common subplans — without the cache the full-outer
+            # changelog join runs twice inside one materialization
+            delta = self.source.diff_versions(
+                v_from, v_to, old_image=True
+            ).persist()
         except FileNotFoundError as e:
             if auto_reseed:
                 return self.reseed()
@@ -406,6 +412,7 @@ class IncrementalAggregate:
                 },
             )
         finally:
+            delta.unpersist()
             if persisted is not None:
                 persisted.unpersist()
         t1 = time.time()

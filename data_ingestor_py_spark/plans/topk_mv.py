@@ -199,7 +199,12 @@ class IncrementalTopK:
         t0 = time.time()
         src_keys = self.source._load()["key_cols"]
         try:
-            delta = self.source.diff_versions(v_from, v_to, old_image=True)
+            # persisted: inserts/retracts below are two separate
+            # materializations over the same diff subtree — without the
+            # cache the full-outer changelog join runs once per side
+            delta = self.source.diff_versions(
+                v_from, v_to, old_image=True
+            ).persist()
         except FileNotFoundError as e:
             if auto_reseed:
                 return self.reseed()
@@ -231,7 +236,7 @@ class IncrementalTopK:
 
         inserts = side(old=False).persist()
         retracts = side(old=True).persist()
-        cleanup = [inserts, retracts]
+        cleanup = [delta, inserts, retracts]
         try:
             items = [f"i_{c}" for c, _ in self.tiebreak_cols]
             cur = self.read().persist()
