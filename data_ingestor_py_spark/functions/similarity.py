@@ -180,11 +180,21 @@ def minhash_lsh_candidates(
             F.count(F.lit(1)).over(w).alias("_n"),
             F.min("id").over(w).alias("_hub"),
         )
+        # materialize the windowed band keys once (eager local checkpoint,
+        # auto-GC'd like the graph op's): the star branch and BOTH
+        # self-join sides are separate plan branches, and Catalyst does
+        # not dedupe the shared subtree — each would re-run the full
+        # minhash-signature pass over the corpus (r7 plan audit: the sig
+        # expression appeared 3x in the physical plan)
+        band = band.localCheckpoint(eager=True)
         star = band.where(
             (F.col("_n") > max_band_size) & (F.col("id") != F.col("_hub"))
         ).select(F.col("_hub").alias("id_a"), F.col("id").alias("id_b"))
         band = band.where(F.col("_n") <= max_band_size)
-    band = band.select("id", "band", "bh")
+        band = band.select("id", "band", "bh")
+    else:
+        # same dedupe for the two self-join sides in the uncapped mode
+        band = band.localCheckpoint(eager=True)
     left = band.alias("l")
     right = band.alias("r")
     pairs = (
@@ -216,12 +226,26 @@ def minhash_near_duplicates(
     unaffected by it. Hot bands are overwhelmingly exact duplicates in
     practice — run :func:`exact_dedup` first so they never form, and
     watch :func:`lsh_band_stats` for how often groups go hot."""
+    # pair-scale; materialized so the candidate-id set and the two
+    # verify joins below don't each re-run the banding join
     cands = minhash_lsh_candidates(
         df, text_col, id_col, bands, rows_per_band, max_band_size
+    ).localCheckpoint(eager=True)
+    # shingle ONLY candidate documents, once: the corpus-wide a/b shingle
+    # branches of the first version computed the shingle expression twice
+    # over every document; verification only ever reads candidate ids
+    need = (
+        cands.select(F.col("id_a").alias("_nid"))
+        .unionByName(cands.select(F.col("id_b").alias("_nid")))
+        .distinct()
     )
-    docs = df.select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
-    a = docs.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = docs.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sh_need = (
+        df.join(need, F.col(id_col) == F.col("_nid"), "left_semi")
+        .select(F.col(id_col).alias("id"), shingles(text_col).alias("sh"))
+        .localCheckpoint(eager=True)
+    )
+    a = sh_need.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh_need.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
     return (
         cands.join(a, "id_a").join(b, "id_b")
         .select("id_a", "id_b", jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"))
@@ -495,7 +519,12 @@ def embedding_near_duplicates(
     hyperplane are the usual LSH trade-off (raise ``planes`` for precision,
     repeat with rotated planes for recall)."""
     b = lsh_hyperplane_bucket(vec_col, planes, dims)
-    t = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("b"))
+    # materialized once: both self-join sides are separate plan branches,
+    # so the hyperplane bucket (planes x dims dot products per vector)
+    # would otherwise be computed twice over the corpus
+    t = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), b.alias("b")
+    ).localCheckpoint(eager=True)
     a = t.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "b")
     c = t.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "b")
     return (
