@@ -793,11 +793,11 @@ def q_sessionize_stream_closed(spark, sf_dir):
     max_ts = ev.agg(F.max("ts")).collect()[0][0]  # scalar, metadata-scale
     d = tempfile.mkdtemp(prefix="ingestor-sess-")
     in_dir = os.path.join(d, "in")
-    ev.coalesce(1).write.parquet(in_dir)
+    ev.repartition(1).write.parquet(in_dir)
     sent_dir = os.path.join(d, "sent")
     ev.groupBy("user_id").agg(
         (F.max("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts")
-    ).coalesce(1).write.parquet(sent_dir)
+    ).repartition(1).write.parquet(sent_dir)
     # the sentinel file must land in a LATER micro-batch: file source orders
     # by modification time, so bump the sentinel's mtime past the data file
     base = max(os.path.getmtime(f) for f in glob.glob(os.path.join(in_dir, "part-*.parquet")))
@@ -1397,10 +1397,10 @@ def q_stream_interval_join(spark, sf_dir):
         l_dir, r_dir = os.path.join(d, "views"), os.path.join(d, "buys")
         ev.where(F.col("event_type") == "view").select(
             "user_id", F.col("event_id").alias("view_id"), "ts"
-        ).coalesce(1).write.parquet(l_dir)
+        ).repartition(1).write.parquet(l_dir)
         ev.where(F.col("event_type") == "purchase").select(
             "user_id", F.col("event_id").alias("purchase_id"), "ts"
-        ).coalesce(1).write.parquet(r_dir)
+        ).repartition(1).write.parquet(r_dir)
         t = create_join_table(
             spark, _mk("ingestor-sjoin-t-"),
             ["user_id"], "view_id", "purchase_id", num_buckets=8,
@@ -1475,7 +1475,7 @@ def q_stream_interval_join_outer(spark, sf_dir):
             os.makedirs(out)
             for i, df in enumerate([main, sent]):
                 stage = os.path.join(d, f"_stage_{name}_{i}")
-                df.coalesce(1).write.mode("overwrite").parquet(stage)
+                df.repartition(1).write.mode("overwrite").parquet(stage)
                 src = glob.glob(os.path.join(stage, "part-*.parquet"))[0]
                 dst = os.path.join(out, f"f{i:03d}.parquet")
                 shutil.copy(src, dst)
@@ -1734,7 +1734,7 @@ def q_stream_windowed_rollup(spark, sf_dir):
         ev = _t(spark, sf_dir, "events").select("event_type", "event_id", "ts")
         d = tempfile.mkdtemp(prefix="ingestor-window-")
         in_dir = os.path.join(d, "in")
-        ev.coalesce(1).write.parquet(in_dir)
+        ev.repartition(1).write.parquet(in_dir)
         sent_dir = os.path.join(d, "sent")
         ev.agg(
             (F.max("ts") + F.expr("INTERVAL 3650 DAYS")).alias("ts")
@@ -1742,7 +1742,7 @@ def q_stream_windowed_rollup(spark, sf_dir):
             F.lit("zz_sentinel").alias("event_type"),
             F.lit(0).cast("long").alias("event_id"),
             "ts",
-        ).coalesce(1).write.parquet(sent_dir)
+        ).repartition(1).write.parquet(sent_dir)
         base = max(
             os.path.getmtime(f)
             for f in glob.glob(os.path.join(in_dir, "part-*.parquet"))
