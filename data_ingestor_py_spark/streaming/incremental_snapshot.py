@@ -157,7 +157,10 @@ class ChunkedSnapshot:
             F.lit("U").alias("_op"),
             F.lit(None).cast("timestamp").alias("_ts"),
         )
-        stats = self.table.merge_apply(batch, stats="light")
+        # chunk-sized batch, but its lineage is a consistent-as-of-LSN
+        # source read (in tests/gates: a window over the whole stream) —
+        # cache it so the read runs once across the merge's two actions
+        stats = self.table.merge_apply(batch, stats="light", persist_batch=True)
         # ledger AFTER the durable merge: crash in between re-runs the chunk
         self._cp.commit(
             BatchRecord(
