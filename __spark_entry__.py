@@ -2125,71 +2125,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # All 86 gates are still value-checked locally every round by
     # tools/check_oracles.py regardless of window position.
     #
-    # Round 6: the metadata-plane refactor touches the shared TargetTable,
-    # so the window leads with the gates that exercise it DIRECTLY
-    # (stats/bloom/zorder pruning, COW+MoR merges, changelog, lineage,
-    # evolution, retention, routing), plus the three new gates and the
-    # gates of the modules with r6 code changes (topk_mv, expectations,
-    # similarity default); the rest of the window is the full 29-gate r5
-    # tail per invariant (2). Union r5∪r6 covers all 86.
+    # Round 7 (optimization round): the window is the full 36-gate r6
+    # tail (invariant 2 — no gate goes two rounds without a driver row;
+    # r6∪r7 covers all 86) plus the 14 gates whose implementation this
+    # round's optimizations touch directly: the merge-core persist_batch
+    # paths (COW/MoR flagship, lineage, schema evolution, toast), the
+    # re-greened exact_substring_dedup dtype fix, the similarity
+    # single-evaluation rework (minhash_lsh, neardup_clusters,
+    # embedding_cosine), the streaming staging/epoch-persist changes
+    # (interval-join-outer, sessionize_stream_closed, cutover), and one
+    # gate per touched MV module (topk_mv, approx_distinct;
+    # plans/mv.py and plans/distinct_mv.py are in-window via the r6-tail
+    # rows incremental_mv_minmax / incremental_mv_count_distinct, which
+    # exercise the same refresh paths more deeply than the displaced
+    # incremental_mv_lang_counts).
     return {
-        # -- touched by the r6 metadata plane / module changes, or new --
+        # -- r7 window: touched-this-round gates --
         "cdc_merge_full_replay": q_cdc_merge_full_replay,
         "cdc_merge_mor_replay": q_cdc_merge_mor_replay,
-        "stats_pruned_scan": q_stats_pruned_scan,
-        "bloom_pruned_lookup": q_bloom_pruned_lookup,
-        "zorder_pruned_scan": q_zorder_pruned_scan,
-        "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "schema_evolution_replay": q_schema_evolution_replay,
-        "cdc_changes_between": q_cdc_changes_between,
-        "retention_delete": q_retention_delete,
-        "multi_table_routing": q_multi_table_routing,
-        "expectations_quality": q_expectations_quality,
-        "incremental_topk_leaderboard": q_incremental_topk,
-        "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
-        "approx_distinct_mv": q_approx_distinct_mv,
-        "time_travel_read": q_time_travel_read,
-        "incremental_snapshot_cutover": q_incremental_snapshot_cutover,
+        "checkpoint_lineage_counts": q_checkpoint_lineage_counts,
         "exact_substring_dedup": q_exact_substring_dedup,
-        "toast_carry_forward": q_toast_carry_forward,
-        "stream_interval_join_outer": q_stream_interval_join_outer,
-        "token_count_bpe": q_token_count_bpe,
         "minhash_lsh_neardup": q_minhash_lsh_neardup,
-        # -- the full round-5 tail (no r5 driver row -> must be in-window) --
-        "dedup_latest_by_key": q_dedup_latest_by_key,
-        "join_revenue_by_nation": q_join_revenue_by_nation,
         "neardup_clusters": q_neardup_clusters,
-        "sessionize_stream_closed": q_sessionize_stream_closed,
-        "session_window_native": q_session_window_native,
-        "dedup_salted_latest": q_dedup_salted_latest,
-        "mapping_projection": q_mapping_projection,
-        "flatten_explode_tokens": q_flatten_explode_tokens,
-        "broadcast_dict_join": q_broadcast_dict_join,
-        "vectorized_normalize": q_vectorized_normalize,
-        "vocab_top100": q_vocab_top100,
-        "groupby_argmax_mode": q_groupby_argmax_mode,
-        "agg_pricing_summary": q_agg_pricing_summary,
-        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "sessionize_events": q_sessionize_events,
-        "multimodal_decode_features": q_multimodal_decode_features,
-        "multimodal_resize": q_multimodal_resize,
-        "multimodal_frame_sample": q_multimodal_frame_sample,
-        "ann_topk_cosine": q_ann_topk_cosine,
-        "ann_lsh_bucketed": q_ann_lsh_bucketed,
-        "ann_ivf_topk": q_ann_ivf_topk,
-        "ivf_trained_topk": q_ivf_trained_topk,
         "embedding_cosine_neardup": q_embedding_cosine_neardup,
-        "asof_join_purchase_value": q_asof_join_purchase_value,
-        "range_join_event_bursts": q_range_join_event_bursts,
-        "train_val_test_split": q_train_val_test_split,
-        "pack_sequences": q_pack_sequences,
-        "decontaminate_benchmark": q_decontaminate_benchmark,
-        "kmeans_centroids": q_kmeans_centroids,
-        # ---- tail: outside the driver's 50-query window this round.
-        # Every entry below is driver-green in CORRECTNESS_r05 with its own
-        # module untouched since (the shared TargetTable changes are
-        # driver-covered by the in-window gates above that exercise the
-        # metadata plane directly), and rotates back next round ----
+        "stream_interval_join_outer": q_stream_interval_join_outer,
+        "sessionize_stream_closed": q_sessionize_stream_closed,
+        "incremental_snapshot_cutover": q_incremental_snapshot_cutover,
+        "toast_carry_forward": q_toast_carry_forward,
+        "incremental_topk_leaderboard": q_incremental_topk,
+        "approx_distinct_mv": q_approx_distinct_mv,
+        # -- r7 window: the full r6 tail (36; invariant 2) --
         "exact_dedup_documents": q_exact_dedup_documents,
         "minhash_signatures": q_minhash_signatures,
         "simhash_fingerprints": q_simhash_fingerprints,
@@ -2222,15 +2188,51 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles_order_value": q_percentiles_order_value,
         "semi_anti_joins": q_semi_anti_joins,
         "set_ops_active_users": q_set_ops_active_users,
-        # r5-driver-green, own modules (plans/join_mv.py, plans/scd.py)
-        # untouched this round; displaced from the window by the new
-        # incremental-snapshot and substring-dedup gates — the TargetTable
-        # metadata plane they also consume is in-window via the eight
-        # direct gates above
         "incremental_join_enrich": q_incremental_join_enrich,
         "scd2_history": q_scd2_history,
         "snapshot_stream_handoff": q_snapshot_stream_handoff,
         "incremental_mv_count_distinct": q_incremental_mv_count_distinct,
+        # ---- tail: outside the driver's 50-query window this round.
+        # Every entry below is driver-green in CORRECTNESS_r06 with its
+        # own module untouched this round (the shared merge-core changes
+        # are driver-covered by the in-window flagship/lineage/evolution/
+        # toast gates above), and rotates back next round ----
+        "stats_pruned_scan": q_stats_pruned_scan,
+        "bloom_pruned_lookup": q_bloom_pruned_lookup,
+        "zorder_pruned_scan": q_zorder_pruned_scan,
+        "cdc_changes_between": q_cdc_changes_between,
+        "retention_delete": q_retention_delete,
+        "multi_table_routing": q_multi_table_routing,
+        "expectations_quality": q_expectations_quality,
+        "incremental_mv_lang_counts": q_incremental_mv_lang_counts,
+        "time_travel_read": q_time_travel_read,
+        "token_count_bpe": q_token_count_bpe,
+        "dedup_latest_by_key": q_dedup_latest_by_key,
+        "join_revenue_by_nation": q_join_revenue_by_nation,
+        "session_window_native": q_session_window_native,
+        "dedup_salted_latest": q_dedup_salted_latest,
+        "mapping_projection": q_mapping_projection,
+        "flatten_explode_tokens": q_flatten_explode_tokens,
+        "broadcast_dict_join": q_broadcast_dict_join,
+        "vectorized_normalize": q_vectorized_normalize,
+        "vocab_top100": q_vocab_top100,
+        "groupby_argmax_mode": q_groupby_argmax_mode,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "sessionize_events": q_sessionize_events,
+        "multimodal_decode_features": q_multimodal_decode_features,
+        "multimodal_resize": q_multimodal_resize,
+        "multimodal_frame_sample": q_multimodal_frame_sample,
+        "ann_topk_cosine": q_ann_topk_cosine,
+        "ann_lsh_bucketed": q_ann_lsh_bucketed,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ivf_trained_topk": q_ivf_trained_topk,
+        "asof_join_purchase_value": q_asof_join_purchase_value,
+        "range_join_event_bursts": q_range_join_event_bursts,
+        "train_val_test_split": q_train_val_test_split,
+        "pack_sequences": q_pack_sequences,
+        "decontaminate_benchmark": q_decontaminate_benchmark,
+        "kmeans_centroids": q_kmeans_centroids,
     }
 
 

@@ -55,33 +55,43 @@ def test_checkpoint_compaction_lossless(spark, tmp_path):
     assert {r["batch_id"] for r in cp.read().collect()} == before
     assert cp.committed_batches() == before
 
-# Round-6 window policy (COVERAGE.md): gates REQUIRED inside the driver's
-# first-50 window — every gate new this round, plus the full r5 tail
-# (no r5 driver row -> must get an r6 one). An accidental dict reorder
-# silently drops driver coverage; this pins it structurally.
-R6_MUST_BE_IN_WINDOW = [
-    # new this round
-    "stream_interval_join_outer", "approx_distinct_mv", "token_count_bpe",
-    "incremental_snapshot_cutover", "exact_substring_dedup",
-    "toast_carry_forward", "time_travel_read",
-    # the full r5 tail (29)
-    "dedup_latest_by_key", "join_revenue_by_nation", "neardup_clusters",
-    "dedup_salted_latest", "mapping_projection", "flatten_explode_tokens",
-    "broadcast_dict_join", "vectorized_normalize", "vocab_top100",
-    "groupby_argmax_mode", "agg_pricing_summary", "session_window_native",
-    "ngram_jaccard_pairs", "sessionize_events", "multimodal_decode_features",
-    "multimodal_resize", "multimodal_frame_sample", "ann_topk_cosine",
-    "ann_lsh_bucketed", "ann_ivf_topk", "ivf_trained_topk",
-    "embedding_cosine_neardup", "asof_join_purchase_value",
-    "range_join_event_bursts", "train_val_test_split", "pack_sequences",
-    "decontaminate_benchmark", "kmeans_centroids", "sessionize_stream_closed",
+# Round-7 window policy (COVERAGE.md): gates REQUIRED inside the driver's
+# first-50 window — the FULL r6 tail (no r6 driver row -> must get an r7
+# one, so r6∪r7 covers all 86) plus every gate whose implementation this
+# round's optimization work touches. An accidental dict reorder silently
+# drops driver coverage; this pins it structurally.
+R7_MUST_BE_IN_WINDOW = [
+    # touched by r7 optimizations / fixes
+    "cdc_merge_full_replay", "cdc_merge_mor_replay",
+    "schema_evolution_replay", "checkpoint_lineage_counts",
+    "exact_substring_dedup", "minhash_lsh_neardup", "neardup_clusters",
+    "embedding_cosine_neardup", "stream_interval_join_outer",
+    "sessionize_stream_closed", "incremental_snapshot_cutover",
+    "toast_carry_forward", "incremental_topk_leaderboard",
+    "approx_distinct_mv",
+    # the full r6 tail (36)
+    "exact_dedup_documents", "minhash_signatures", "simhash_fingerprints",
+    "doc_fingerprint_rolling", "quality_metrics", "language_id",
+    "token_count_regex", "stratified_sample_langs",
+    "strip_boilerplate_highdf", "repetition_gopher", "redact_pii",
+    "mixture_sample", "bigram_lm_fluency", "debezium_roundtrip",
+    "debezium_schema_evolution", "bm25_topk", "bm25_incremental_index",
+    "stream_interval_join", "stream_windowed_rollup",
+    "incremental_mv_minmax", "topk_orders_by_value",
+    "running_revenue_window", "pipeline_training_prep",
+    "excel_roundtrip_scan", "pipe_csv_roundtrip", "json_roundtrip_scan",
+    "xml_roundtrip_scan", "rollup_pricing", "pivot_events_by_type",
+    "percentiles_order_value", "semi_anti_joins", "set_ops_active_users",
+    "incremental_join_enrich", "scd2_history", "snapshot_stream_handoff",
+    "incremental_mv_count_distinct",
 ]
 
 
-def test_round6_window_composition():
+def test_round7_window_composition():
     window = list(entrymod.queries())[:50]
-    missing = [k for k in R6_MUST_BE_IN_WINDOW if k not in window]
+    missing = [k for k in R7_MUST_BE_IN_WINDOW if k not in window]
     assert not missing, (
         f"gates required in the driver's first-50 window are outside it: "
         f"{missing}"
     )
+    assert len(R7_MUST_BE_IN_WINDOW) == 50
