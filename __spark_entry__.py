@@ -132,7 +132,7 @@ def q_cdc_merge_mor_replay(spark, sf_dir):
         cdc = _events_cdc(spark, sf_dir)
         batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
         prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
-        replay(table, batches, prepare=prep)
+        replay(table, batches, prepare=prep, stats="light")
         _REPLAY_CACHE[key] = root
     table = TargetTable(spark, _REPLAY_CACHE[key])
     return table.read().select(
@@ -165,7 +165,7 @@ def q_stats_pruned_scan(spark, sf_dir):
         cdc = _events_cdc(spark, sf_dir)
         batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
         prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
-        replay(table, batches, prepare=prep)
+        replay(table, batches, prepare=prep, stats="light")
         table.rewrite_data_files(sort_by=["value"], max_rows_per_file=2000)
         _REPLAY_CACHE[key] = root
     table = TargetTable(spark, _REPLAY_CACHE[key])
@@ -235,7 +235,7 @@ def q_zorder_pruned_scan(spark, sf_dir):
         cdc = _events_cdc(spark, sf_dir)
         batches = split_batches(cdc, 4, assign=F.pmod(F.col("event_id"), F.lit(4)))
         prep = lambda df, i: df.select("repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts")  # noqa: E731
-        replay(table, batches, prepare=prep)
+        replay(table, batches, prepare=prep, stats="light")
         table.rewrite_data_files(zorder_by=["value", "_seq"], max_rows_per_file=2000)
         _REPLAY_CACHE[key] = root
     table = TargetTable(spark, _REPLAY_CACHE[key])
@@ -283,7 +283,7 @@ def q_schema_evolution_replay(spark, sf_dir):
         if i == 2 and "bonus" not in [f["name"] for f in tbl.schema_fields()]:
             tbl.evolve(add=[("bonus", "double")])
 
-    replay(table, batches, prepare=prep, on_batch_start=on_start)
+    replay(table, batches, prepare=prep, on_batch_start=on_start, stats="light")
     return table.read().select(
         F.col("repo").cast("long").alias("user_id"),
         F.col("path").cast("long").alias("k"),
@@ -1544,7 +1544,7 @@ def q_snapshot_stream_handoff(spark, sf_dir):
         )
         # consistent snapshot at LSN, produced by the engine itself
         pre = TargetTable.create(spark, _mk("ingestor-handoff-pre-"), **cols)
-        replay(pre, [cdc.where(F.col("_seq") <= lsn)], prepare=prep)
+        replay(pre, [cdc.where(F.col("_seq") <= lsn)], prepare=prep, stats="light")
         snapshot = pre.read().select("repo", "path", "lang", "value")
         # serialize the FULL history as the delivered binlog (max overlap)
         is_del = F.col("_op") == "D"
@@ -2030,7 +2030,7 @@ def q_retention_delete(spark, sf_dir):
         prep = lambda df, i: df.select(  # noqa: E731
             "repo", "path", "commit", "lang", "value", "_seq", "_op", "_ts"
         )
-        replay(table, batches, prepare=prep)
+        replay(table, batches, prepare=prep, stats="light")
         table.delete_where([("value", "<", 5.0)])
         _REPLAY_CACHE[key] = root
     table = TargetTable(spark, _REPLAY_CACHE[key])
