@@ -91,7 +91,9 @@ def main() -> None:
         # materialize the corpus once to parquet so every operator reads
         # identical bytes (and generation cost stays out of the timing)
         path = f"/tmp/dedup-scale-{n}"
-        if not os.path.exists(path):
+        # _SUCCESS check: a killed prior run leaves a partial dir that a
+        # bare exists() would silently benchmark against
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
             docs.write.mode("overwrite").parquet(path)
         stored = spark.read.parquet(path)
         for name, build in ops(stored).items():

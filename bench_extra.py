@@ -43,7 +43,7 @@ def main() -> None:
     evdir = os.environ.get("BENCH_EXTRA_EVENTLOG")
     if evdir:
         os.makedirs(evdir, exist_ok=True)
-        extra = {"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir}
+        extra.update({"spark.eventLog.enabled": "true", "spark.eventLog.dir": evdir})
     spark = get_spark("bench-extra", cores=cpus, extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()

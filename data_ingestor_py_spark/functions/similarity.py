@@ -166,6 +166,13 @@ def minhash_lsh_candidates(
     to shrink them, and watch :func:`lsh_band_stats` for how often the
     guard engages. ``max_band_size=None`` disables the guard (the
     all-pairs contract, e.g. for oracle comparison on bounded corpora).
+
+    NOTE (r7): calling this function EAGERLY materializes the banded
+    keys (one local checkpoint — the signature pass would otherwise run
+    once per self-join side and once for the star branch). Checkpoint
+    blocks are not recomputable: an executor loss during the downstream
+    job fails the query instead of recomputing — rerun it. The blocks
+    are freed when the returned frame is garbage-collected.
     """
     band = _lsh_bands(df, text_col, id_col, bands, rows_per_band)
     star = None
@@ -225,7 +232,13 @@ def minhash_near_duplicates(
     preserve connected components exactly — the clustering consumer is
     unaffected by it. Hot bands are overwhelmingly exact duplicates in
     practice — run :func:`exact_dedup` first so they never form, and
-    watch :func:`lsh_band_stats` for how often groups go hot."""
+    watch :func:`lsh_band_stats` for how often groups go hot.
+
+    NOTE (r7): calling this function EAGERLY runs the banding join and
+    candidate enumeration (local checkpoints — the alternative executed
+    the signature/shingle expressions up to five times per corpus row);
+    the Jaccard verify stage then shingles only candidate documents.
+    See :func:`minhash_lsh_candidates` for the checkpoint trade-offs."""
     # pair-scale; materialized so the candidate-id set and the two
     # verify joins below don't each re-run the banding join
     cands = minhash_lsh_candidates(
@@ -517,7 +530,12 @@ def embedding_near_duplicates(
     embedding analogue of the MinHash banding join. Exact duplicates always
     share a bucket, so recall for true copies is 1.0; near-misses across a
     hyperplane are the usual LSH trade-off (raise ``planes`` for precision,
-    repeat with rotated planes for recall)."""
+    repeat with rotated planes for recall).
+
+    NOTE (r7): calling this function EAGERLY materializes the bucketed
+    vectors once (local checkpoint) so the hyperplane projection is not
+    computed per self-join side; see :func:`minhash_lsh_candidates` for
+    the checkpoint trade-offs."""
     b = lsh_hyperplane_bucket(vec_col, planes, dims)
     # materialized once: both self-join sides are separate plan branches,
     # so the hyperplane bucket (planes x dims dot products per vector)

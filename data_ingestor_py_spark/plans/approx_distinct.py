@@ -143,10 +143,14 @@ class ApproxDistinct:
         try:
             # persisted: retracts and inserts are separate reads of the
             # same diff subtree — cache so the full-outer changelog join
-            # runs once
-            delta = self.source.diff_versions(
+            # runs once. Keep the persisted handle separate: `delta` is
+            # reassigned to filtered children below, and unpersisting a
+            # CHILD plan would not release this cache entry (r7
+            # self-review finding).
+            delta0 = self.source.diff_versions(
                 v_from, v_to, old_image=True
             ).persist()
+            delta = delta0
         except FileNotFoundError as e:
             if auto_reseed:
                 return self.reseed()
@@ -272,7 +276,7 @@ class ApproxDistinct:
             )
         finally:
             retracts.unpersist()
-            delta.unpersist()
+            delta0.unpersist()
         t1 = time.time()
         rec = BatchRecord(
             batch_id=v_to, src_offset_start=v_from, src_offset_end=v_to,

@@ -191,14 +191,8 @@ class IncrementalJoin:
                 f"fk_cols {self.fk_cols} vs dim keys {dim_keys}: arity mismatch"
             )
         try:
-            # d_fact persisted: it feeds three places in the upsert plan
-            # (the re-join projection, the delete branch, and the
-            # changed-dim anti-join) and Catalyst does not dedupe the
-            # shared diff subtree — cache so the full-outer changelog
-            # join runs once
             d_fact = (
-                self.fact.diff_versions(va0, va1).persist()
-                if va1 > va0 else None
+                self.fact.diff_versions(va0, va1) if va1 > va0 else None
             )
             d_dim = self.dim.diff_versions(vb0, vb1) if vb1 > vb0 else None
         except FileNotFoundError as e:
@@ -210,6 +204,14 @@ class IncrementalJoin:
                 "view. Call reseed() and resume incremental refreshes."
             ) from e
 
+        # d_fact persisted AFTER both diffs resolved (a dim-side gap must
+        # not leak the fact cache through the except paths above): it
+        # feeds three places in the upsert plan (the re-join projection,
+        # the delete branch, and the changed-dim anti-join) and Catalyst
+        # does not dedupe the shared diff subtree — cache so the
+        # full-outer changelog join runs once
+        if d_fact is not None:
+            d_fact = d_fact.persist()
         parts: list[DataFrame] = []
         deletes = None
         if d_fact is not None:

@@ -329,73 +329,73 @@ class IncrementalAggregate:
         j = d.join(cur, cond, "left_outer")
 
         re_agg = persisted = None
-        if mm:
-            # targeted-recompute rule: a group needs re-aggregation iff a
-            # retraction's old value ties-or-beats the stored extremum
-            # (the retracted row MAY have been the last one holding it);
-            # inserts alone can only improve an extremum, never void it
-            need = F.lit(False)
-            for n, _, _, is_max in mm:
-                ret, c = d[f"_ret_{n}"], cur[n]
-                need = need | (
-                    cur["n_rows"].isNotNull()
-                    & ret.isNotNull()
-                    & ((ret >= c) if is_max else (ret <= c))
-                )
-            j = persisted = j.withColumn("_mm_reagg", need).persist()
-            affected = j.where(F.col("_mm_reagg")).select(
-                *[d[g].alias(g) for g in self.group_cols]
-            )
-            if affected.count() > 0:
-                # re-aggregate ONLY the affected groups from the source
-                # pinned at v_to (reading live state would race a
-                # concurrent source commit); broadcast semi-join keeps
-                # the scan filtered to those groups' rows
-                pinned = self.source.read_version(v_to)
-                if self.row_transform is not None:
-                    pinned = self.row_transform(pinned)
-                srcv = pinned.select(
-                    *[
-                        F.col(g).cast("string").alias(g)
-                        for g in self.group_cols
-                    ],
-                    *[F.col(c).cast(t).alias(f"_src_{n}") for n, c, t, _ in mm],
-                )
-                cond2 = F.lit(True)
-                for g in self.group_cols:
-                    cond2 = cond2 & srcv[g].eqNullSafe(affected[g])
-                hits = srcv.join(F.broadcast(affected), cond2, "left_semi")
-                re_agg = hits.groupBy(*self.group_cols).agg(
-                    *[
-                        (F.max if is_max else F.min)(f"_src_{n}").alias(f"_re_{n}")
-                        for n, _, _, is_max in mm
-                    ]
-                )
-                cond3 = F.lit(True)
-                for g in self.group_cols:
-                    cond3 = cond3 & d[g].eqNullSafe(re_agg[g])
-                j = j.join(re_agg, cond3, "left_outer")
-
-        def mm_val(n: str, is_max: bool):
-            fast = (F.greatest if is_max else F.least)(cur[n], d[f"_ins_{n}"])
-            if re_agg is None:
-                return fast
-            return F.when(F.col("_mm_reagg"), re_agg[f"_re_{n}"]).otherwise(fast)
-
-        new_n = F.coalesce(cur["n_rows"], F.lit(0)) + d["_d_rows"]
-        upserts = j.select(
-            *[d[g].alias(g) for g in self.group_cols],
-            new_n.alias("n_rows"),
-            *[
-                (F.coalesce(cur[n], F.lit(0)) + d[f"_d_{n}"]).alias(n)
-                for n, _ in self.sum_cols
-            ],
-            *[mm_val(n, is_max).alias(n) for n, _, _, is_max in mm],
-            F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
-            F.lit(v_to).cast("long").alias("_seq"),
-            F.current_timestamp().alias("_ts"),
-        )
         try:
+            if mm:
+                # targeted-recompute rule: a group needs re-aggregation iff a
+                # retraction's old value ties-or-beats the stored extremum
+                # (the retracted row MAY have been the last one holding it);
+                # inserts alone can only improve an extremum, never void it
+                need = F.lit(False)
+                for n, _, _, is_max in mm:
+                    ret, c = d[f"_ret_{n}"], cur[n]
+                    need = need | (
+                        cur["n_rows"].isNotNull()
+                        & ret.isNotNull()
+                        & ((ret >= c) if is_max else (ret <= c))
+                    )
+                j = persisted = j.withColumn("_mm_reagg", need).persist()
+                affected = j.where(F.col("_mm_reagg")).select(
+                    *[d[g].alias(g) for g in self.group_cols]
+                )
+                if affected.count() > 0:
+                    # re-aggregate ONLY the affected groups from the source
+                    # pinned at v_to (reading live state would race a
+                    # concurrent source commit); broadcast semi-join keeps
+                    # the scan filtered to those groups' rows
+                    pinned = self.source.read_version(v_to)
+                    if self.row_transform is not None:
+                        pinned = self.row_transform(pinned)
+                    srcv = pinned.select(
+                        *[
+                            F.col(g).cast("string").alias(g)
+                            for g in self.group_cols
+                        ],
+                        *[F.col(c).cast(t).alias(f"_src_{n}") for n, c, t, _ in mm],
+                    )
+                    cond2 = F.lit(True)
+                    for g in self.group_cols:
+                        cond2 = cond2 & srcv[g].eqNullSafe(affected[g])
+                    hits = srcv.join(F.broadcast(affected), cond2, "left_semi")
+                    re_agg = hits.groupBy(*self.group_cols).agg(
+                        *[
+                            (F.max if is_max else F.min)(f"_src_{n}").alias(f"_re_{n}")
+                            for n, _, _, is_max in mm
+                        ]
+                    )
+                    cond3 = F.lit(True)
+                    for g in self.group_cols:
+                        cond3 = cond3 & d[g].eqNullSafe(re_agg[g])
+                    j = j.join(re_agg, cond3, "left_outer")
+
+            def mm_val(n: str, is_max: bool):
+                fast = (F.greatest if is_max else F.least)(cur[n], d[f"_ins_{n}"])
+                if re_agg is None:
+                    return fast
+                return F.when(F.col("_mm_reagg"), re_agg[f"_re_{n}"]).otherwise(fast)
+
+            new_n = F.coalesce(cur["n_rows"], F.lit(0)) + d["_d_rows"]
+            upserts = j.select(
+                *[d[g].alias(g) for g in self.group_cols],
+                new_n.alias("n_rows"),
+                *[
+                    (F.coalesce(cur[n], F.lit(0)) + d[f"_d_{n}"]).alias(n)
+                    for n, _ in self.sum_cols
+                ],
+                *[mm_val(n, is_max).alias(n) for n, _, _, is_max in mm],
+                F.when(new_n <= 0, F.lit("D")).otherwise(F.lit("U")).alias("_op"),
+                F.lit(v_to).cast("long").alias("_seq"),
+                F.current_timestamp().alias("_ts"),
+            )
             st = self.table.merge_apply(
                 upserts,
                 stats="light",
